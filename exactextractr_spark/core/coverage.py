@@ -1,0 +1,301 @@
+"""Exact per-cell polygon coverage fractions, pure numpy.
+
+Reproduces the semantics of the reference's ``raster_cell_intersection``
+(``/root/reference/src/exactextract/src/raster_cell_intersection.cpp:26-142``)
+— per-cell fraction of area covered by a polygon, exact for piecewise-linear
+boundaries — with a different, vectorization-friendly algorithm:
+
+Instead of the reference's sequential ring walk (Cell::take / traversal
+stitching, ``cell.cpp:87-150``), we integrate the polygon indicator function
+cell-by-cell via Green's theorem. For a point (x, y), the winding number is
+
+    chi(x, y) = sum over edges e of  s_e * [x >= x_e(y)],
+
+where ``s_e = +1`` for downward edges and ``-1`` for upward edges, and
+``x_e(y)`` is the edge's x at height y. Integrating over a cell:
+
+    covered_area(cell) = sum_e s_e * INT_{y in cell ∩ e} clamp(cx1 - x_e(y), 0, dx) dy
+
+Each edge's integrand is piecewise linear in y, with breakpoints exactly at
+cell-row and cell-column boundaries — so we split every edge at those
+boundaries and evaluate the integral in closed form per piece. Cells wholly
+right of a crossing receive the full-width term, accumulated with a per-row
+prefix sum (this also performs the reference's interior flood fill,
+``floodfill.cpp:22-39``, for free). Results are bit-for-bit exact for
+boundaries representable in float64 and match the reference's Catch2 goldens
+(``test_raster_cell_intersection.cpp:49-68``).
+
+Ring-orientation semantics follow the reference: each exterior ring
+contributes |coverage|, each interior ring subtracts |coverage|
+(``raster_cell_intersection.cpp:308-310, 423-431``); overlapping polygons in
+an invalid MultiPolygon therefore sum, so fractions may exceed 1
+(``R/exact_extract.R:30-31``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import Geometry, signed_area
+from .grid import Box, Grid
+
+__all__ = [
+    "coverage_fraction",
+    "coverage_fraction_ring",
+    "rect_coverage",
+    "cell_lengths",
+]
+
+
+def _exclusive_cumsum(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    out = np.cumsum(a, axis=axis)
+    out = np.roll(out, 1, axis=axis)
+    if axis in (-1, a.ndim - 1):
+        out[..., 0] = 0.0
+    else:
+        raise ValueError("only last-axis supported")
+    return out
+
+
+def _split_segments_to_cells(
+    pts0: np.ndarray, pts1: np.ndarray, grid: Grid, clamp_x: bool
+):
+    """Split directed segments at all cell-row and cell-column boundaries.
+
+    Returns (row, col, xa, ya, xb, yb) arrays of final sub-segments, each
+    lying within a single grid cell. Segments are first clipped to the grid's
+    y-extent (parts outside contribute nothing to any cell's integral) and,
+    when ``clamp_x``, split at the grid's x-limits with outside parts clamped
+    onto the boundary (preserving their winding contribution, which is how
+    the reference's processing-region crop behaves,
+    ``raster_cell_intersection.cpp:50-95``).
+    """
+    gx0, gy0, gx1, gy1 = grid.xmin, grid.ymin, grid.xmax, grid.ymax
+    dx, dy = grid.dx, grid.dy
+    nrows, ncols = grid.nrows, grid.ncols
+
+    x0 = pts0[:, 0].astype(np.float64)
+    y0 = pts0[:, 1].astype(np.float64)
+    x1 = pts1[:, 0].astype(np.float64)
+    y1 = pts1[:, 1].astype(np.float64)
+
+    # ---- clip to grid y-range (drop outside parts) ----
+    dy_e = y1 - y0
+    keep = np.maximum(y0, y1) > gy0
+    keep &= np.minimum(y0, y1) < gy1
+    x0, y0, x1, y1, dy_e = x0[keep], y0[keep], x1[keep], y1[keep], dy_e[keep]
+    if len(x0) == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),) * 4
+
+    nz = dy_e != 0
+    t_lo = np.zeros(len(x0))
+    t_hi = np.ones(len(x0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(nz, (gy0 - y0) / dy_e, 0.0)
+        tb = np.where(nz, (gy1 - y0) / dy_e, 1.0)
+    t_lo = np.clip(np.minimum(ta, tb), 0.0, 1.0)
+    t_hi = np.clip(np.maximum(ta, tb), 0.0, 1.0)
+    t_lo = np.where(nz, t_lo, 0.0)
+    t_hi = np.where(nz, t_hi, 1.0)
+    xa = x0 + t_lo * (x1 - x0)
+    ya = np.clip(y0 + t_lo * (y1 - y0), gy0, gy1)
+    xb = x0 + t_hi * (x1 - x0)
+    yb = np.clip(y0 + t_hi * (y1 - y0), gy0, gy1)
+
+    # ---- split at grid x-limits, clamp outside x onto the boundary ----
+    if clamp_x:
+        segs = [(xa, ya, xb, yb)]
+        for bound in (gx0, gx1):
+            nxt = []
+            for sxa, sya, sxb, syb in segs:
+                dx_e = sxb - sxa
+                crosses = ((sxa - bound) * (sxb - bound) < 0) & (dx_e != 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(crosses, (bound - sxa) / dx_e, 1.0)
+                xm = np.where(crosses, bound, sxb)
+                ym = np.where(crosses, sya + t * (syb - sya), syb)
+                # piece 1: (a -> m), piece 2: (m -> b); piece 2 empty unless crossing
+                nxt.append((sxa, sya, xm, ym))
+                if crosses.any():
+                    idx = np.nonzero(crosses)[0]
+                    nxt.append((xm[idx], ym[idx], sxb[idx], syb[idx]))
+            segs = nxt
+        xa = np.concatenate([s[0] for s in segs])
+        ya = np.concatenate([s[1] for s in segs])
+        xb = np.concatenate([s[2] for s in segs])
+        yb = np.concatenate([s[3] for s in segs])
+        xa = np.clip(xa, gx0, gx1)
+        xb = np.clip(xb, gx0, gx1)
+
+    # drop zero-length pieces
+    live = (xa != xb) | (ya != yb)
+    xa, ya, xb, yb = xa[live], ya[live], xb[live], yb[live]
+    if len(xa) == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),) * 4
+
+    # ---- split at row boundaries ----
+    r_a = np.clip(np.floor((gy1 - np.maximum(ya, yb)) / dy).astype(np.int64), 0, nrows - 1)
+    r_b = np.clip(np.floor((gy1 - np.minimum(ya, yb)) / dy).astype(np.int64), 0, nrows - 1)
+    nseg = r_b - r_a + 1
+    total = int(nseg.sum())
+    eidx = np.repeat(np.arange(len(xa)), nseg)
+    offs = np.arange(total) - np.repeat(np.cumsum(nseg) - nseg, nseg)
+    row = r_a[eidx] + offs
+
+    exa, eya, exb, eyb = xa[eidx], ya[eidx], xb[eidx], yb[eidx]
+    row_top = gy1 - row * dy
+    row_bot = row_top - dy
+    d_y = eyb - eya
+    nzv = d_y != 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_top = np.where(nzv, (row_top - eya) / d_y, 0.0)
+        t_bot = np.where(nzv, (row_bot - eya) / d_y, 1.0)
+    tlo = np.clip(np.minimum(t_top, t_bot), 0.0, 1.0)
+    thi = np.clip(np.maximum(t_top, t_bot), 0.0, 1.0)
+    tlo = np.where(nzv, tlo, 0.0)
+    thi = np.where(nzv, thi, 1.0)
+    sxa = exa + tlo * (exb - exa)
+    sya = np.clip(eya + tlo * d_y, row_bot, row_top)
+    sxb = exa + thi * (exb - exa)
+    syb = np.clip(eya + thi * d_y, row_bot, row_top)
+
+    # ---- split at column boundaries ----
+    c_a = np.clip(np.floor((np.minimum(sxa, sxb) - gx0) / dx).astype(np.int64), 0, ncols - 1)
+    c_b = np.clip(np.floor((np.maximum(sxa, sxb) - gx0) / dx).astype(np.int64), 0, ncols - 1)
+    ncseg = c_b - c_a + 1
+    total2 = int(ncseg.sum())
+    sidx = np.repeat(np.arange(len(sxa)), ncseg)
+    coffs = np.arange(total2) - np.repeat(np.cumsum(ncseg) - ncseg, ncseg)
+    col = c_a[sidx] + coffs
+
+    fxa, fya, fxb, fyb = sxa[sidx], sya[sidx], sxb[sidx], syb[sidx]
+    erow = row[sidx]
+    col_l = gx0 + col * dx
+    col_r = col_l + dx
+    d_x = fxb - fxa
+    nzh = d_x != 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_l = np.where(nzh, (col_l - fxa) / d_x, 0.0)
+        t_r = np.where(nzh, (col_r - fxa) / d_x, 1.0)
+    tlo2 = np.clip(np.minimum(t_l, t_r), 0.0, 1.0)
+    thi2 = np.clip(np.maximum(t_l, t_r), 0.0, 1.0)
+    tlo2 = np.where(nzh, tlo2, 0.0)
+    thi2 = np.where(nzh, thi2, 1.0)
+    pxa = np.clip(fxa + tlo2 * d_x, col_l, col_r)
+    pya = fya + tlo2 * (fyb - fya)
+    pxb = np.clip(fxa + thi2 * d_x, col_l, col_r)
+    pyb = fya + thi2 * (fyb - fya)
+    # preserve direction: tlo2/thi2 sort by t along the segment, which is the
+    # original direction, so (pa -> pb) keeps the edge's orientation.
+
+    return erow, col, pxa, pya, pxb, pyb
+
+
+def coverage_fraction_ring(grid: Grid, ring: np.ndarray) -> np.ndarray:
+    """Signed coverage fraction of one ring, sign = ring orientation
+    (CCW positive). Exact closed-form integration, see module docstring."""
+    nrows, ncols = grid.nrows, grid.ncols
+    out = np.zeros((nrows, ncols), dtype=np.float64)
+    if nrows == 0 or ncols == 0 or len(ring) < 3:
+        return out
+    pts = np.asarray(ring, dtype=np.float64)
+    if not (pts[0] == pts[-1]).all():
+        pts = np.vstack([pts, pts[0]])
+    p0, p1 = pts[:-1], pts[1:]
+    horiz = p0[:, 1] == p1[:, 1]
+    p0, p1 = p0[~horiz], p1[~horiz]
+    if len(p0) == 0:
+        return out
+    row, col, xa, ya, xb, yb = _split_segments_to_cells(p0, p1, grid, clamp_x=True)
+    if len(row) == 0:
+        return out
+    d_y = yb - ya  # signed along edge direction
+    col_r = grid.xmin + (col + 1) * grid.dx
+    xm = 0.5 * (xa + xb)
+    flat = row * ncols + col
+    n = nrows * ncols
+    # A: partial-width term inside the crossed cell; C: winding deposit
+    A = np.bincount(flat, weights=-d_y * (col_r - xm), minlength=n).reshape(nrows, ncols)
+    C = np.bincount(flat, weights=-d_y, minlength=n).reshape(nrows, ncols)
+    out = A + grid.dx * _exclusive_cumsum(C, axis=-1)
+    out /= grid.dx * grid.dy
+    return out
+
+
+def coverage_fraction(grid: Grid, geom: Geometry) -> np.ndarray:
+    """Per-cell covered fraction in [0, 1] for a (Multi)Polygon /
+    GeometryCollection. Exterior rings add |cov|, holes subtract
+    (ref raster_cell_intersection.cpp:308-310, 423-431)."""
+    out = np.zeros((grid.nrows, grid.ncols), dtype=np.float64)
+    for rings in geom.polygons():
+        for i, ring in enumerate(rings):
+            if len(ring) < 3:
+                continue
+            cov = coverage_fraction_ring(grid, ring)
+            orient = 1.0 if signed_area(np.asarray(ring, dtype=np.float64)) >= 0 else -1.0
+            out += cov * (orient if i == 0 else -orient)
+    # tiny negative fuzz from float cancellation
+    np.maximum(out, 0.0, out=out)
+    return out
+
+
+def rect_coverage(grid: Grid, box: Box) -> np.ndarray:
+    """Closed-form coverage for an axis-aligned rectangle — the reference's
+    rectangle fast path (raster_cell_intersection.cpp:161-248) and the whole
+    of exact_resample (resample.cpp:104-106). Fully vectorized."""
+    nrows, ncols = grid.nrows, grid.ncols
+    cols_x0 = grid.xmin + np.arange(ncols) * grid.dx
+    rows_y1 = grid.ymax - np.arange(nrows) * grid.dy  # top edge per row
+    ox = np.clip(
+        np.minimum(box.xmax, cols_x0 + grid.dx) - np.maximum(box.xmin, cols_x0),
+        0.0,
+        grid.dx,
+    )
+    oy = np.clip(
+        np.minimum(box.ymax, rows_y1) - np.maximum(box.ymin, rows_y1 - grid.dy),
+        0.0,
+        grid.dy,
+    )
+    return np.outer(oy, ox) / (grid.dx * grid.dy)
+
+
+def cell_lengths(grid: Grid, geom: Geometry) -> np.ndarray:
+    """Per-cell traversal length for LineStrings — the reference's linear
+    analog of coverage (raster_cell_intersection.cpp:250-259)."""
+    nrows, ncols = grid.nrows, grid.ncols
+    out = np.zeros((nrows, ncols), dtype=np.float64)
+    for line in geom.linestrings():
+        pts = np.asarray(line, dtype=np.float64)
+        if len(pts) < 2:
+            continue
+        # Liang-Barsky clip of each segment to the grid box (drop outside
+        # parts; unlike polygons, lines carry no winding so a plain clip is
+        # the right semantics)
+        p0, p1 = pts[:-1].astype(np.float64), pts[1:].astype(np.float64)
+        dxs = p1[:, 0] - p0[:, 0]
+        dys = p1[:, 1] - p0[:, 1]
+        t0 = np.zeros(len(p0))
+        t1 = np.ones(len(p0))
+        for d, lo, hi in (
+            (dxs, grid.xmin - p0[:, 0], grid.xmax - p0[:, 0]),
+            (dys, grid.ymin - p0[:, 1], grid.ymax - p0[:, 1]),
+        ):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(d != 0, lo / d, np.where(lo > 0, np.inf, -np.inf))
+                tb = np.where(d != 0, hi / d, np.where(hi < 0, -np.inf, np.inf))
+            t0 = np.maximum(t0, np.minimum(ta, tb))
+            t1 = np.minimum(t1, np.maximum(ta, tb))
+        ok = t0 < t1
+        if not ok.any():
+            continue
+        q0 = p0[ok] + t0[ok, None] * np.column_stack([dxs[ok], dys[ok]])
+        q1 = p0[ok] + t1[ok, None] * np.column_stack([dxs[ok], dys[ok]])
+        row, col, xa, ya, xb, yb = _split_segments_to_cells(q0, q1, grid, clamp_x=False)
+        if len(row) == 0:
+            continue
+        L = np.hypot(xb - xa, yb - ya)
+        flat = row * ncols + col
+        out += np.bincount(flat, weights=L, minlength=nrows * ncols).reshape(
+            nrows, ncols
+        )
+    return out

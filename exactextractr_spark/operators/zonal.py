@@ -1,0 +1,496 @@
+"""``exact_extract`` — zonal statistics over (feature × tile) candidate pairs.
+
+Spark-first re-expression of the reference pipeline
+(``/root/reference/R/exact_extract.R:270-773`` + ``src/exact_extract.cpp:
+266-507``): the reference's per-feature loop and ``subdivide`` chunking
+disappear into shuffle parallelism; its StatsRegistry merge is Spark's
+partial/final aggregation.
+
+Plan shape (the reference's *raster-sequential* strategy,
+``raster_sequential_processor.cpp:38-121``, with the STRtree replaced by a
+tile-key equi-join Catalyst can broadcast or shuffle-hash):
+
+    features ──explode tile cover (pure Catalyst sequence arithmetic)──┐
+    tiles ──decode (mapInPandas)───────────────────────────────────────┤
+                                                                        ▼
+          equi-join on (tile_row, tile_col)  +  exact bbox refine
+                                                                        ▼
+          coverage kernel (mapInPandas, Arrow-vectorized) → sparse facts
+                                                                        ▼
+     groupBy(feature_id).agg(all algebraic stats)   [+ groupBy(fid, v)
+     for frequency stats, + weighted-quantile applyInPandas]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import geom as G
+from ..core.coverage import coverage_fraction
+from ..core.grid import Box, Grid
+from ..core.quantiles import weighted_quantile
+from ..plans.stats import StatsPlan, quantile_name
+from ..sources.tiles import Raster
+
+EARTH_RADIUS = 6378137.0  # authalic, ref raster_area.h:63
+_PI180 = math.pi / 180.0
+
+FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("w", T.DoubleType(), True),
+        T.StructField("cov", T.DoubleType(), False),
+        T.StructField("cell", T.LongType(), True),
+        T.StructField("cx", T.DoubleType(), True),
+        T.StructField("cy", T.DoubleType(), True),
+        T.StructField("area", T.DoubleType(), True),
+    ]
+)
+
+
+def cell_areas(grid: Grid, rows: np.ndarray, spherical: bool) -> np.ndarray:
+    """Cell area per row index — cartesian constant or per-latitude-band
+    spherical (ref raster_area.h:21-69, authalic radius 6378137)."""
+    if not spherical:
+        return np.full(len(rows), grid.dx * grid.dy)
+    y_top = grid.ymax - rows * grid.dy
+    y_bot = y_top - grid.dy
+    return (
+        EARTH_RADIUS
+        * EARTH_RADIUS
+        * _PI180
+        * np.abs(np.sin(y_bot * _PI180) - np.sin(y_top * _PI180))
+        * grid.dx
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate join
+# ---------------------------------------------------------------------------
+
+def candidate_pairs(
+    values: Raster, feats: DataFrame, broadcast_features: bool = True
+) -> DataFrame:
+    """Explode each feature's bbox into covering tile keys (pure Catalyst
+    arithmetic — the 'H3 cover' of the north rule at tile granularity) and
+    equi-join with decoded tiles. Over-inclusion is refined by the exact
+    bbox test and then by the kernel itself."""
+    m = values.meta
+    step_x = m.dx * m.tile_w
+    step_y = m.dy * m.tile_h
+
+    f = feats.filter(
+        (F.col("fxmin") <= F.lit(m.xmax))
+        & (F.col("fxmax") >= F.lit(m.xmin))
+        & (F.col("fymin") <= F.lit(m.ymax))
+        & (F.col("fymax") >= F.lit(m.ymin))
+    )
+    tr0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_rows - 1),
+            F.floor((F.lit(m.ymax) - F.col("fymax")) / F.lit(step_y)),
+        ),
+    ).cast("int")
+    tr1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_rows - 1),
+            F.floor((F.lit(m.ymax) - F.col("fymin")) / F.lit(step_y)),
+        ),
+    ).cast("int")
+    tc0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_cols - 1),
+            F.floor((F.col("fxmin") - F.lit(m.xmin)) / F.lit(step_x)),
+        ),
+    ).cast("int")
+    tc1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_cols - 1),
+            F.floor((F.col("fxmax") - F.lit(m.xmin)) / F.lit(step_x)),
+        ),
+    ).cast("int")
+    cover = f.withColumn("tile_row", F.explode(F.sequence(tr0, tr1))).withColumn(
+        "tile_col", F.explode(F.sequence(tc0, tc1))
+    )
+    if broadcast_features:
+        cover = F.broadcast(cover)
+    joined = values.tiles.join(cover, on=["tile_row", "tile_col"], how="inner")
+    # exact bbox refine (cheap; candidate cells already near-exact)
+    return joined.filter(
+        (F.col("fxmin") < F.col("xmax"))
+        & (F.col("fxmax") > F.col("xmin"))
+        & (F.col("fymin") < F.col("ymax"))
+        & (F.col("fymax") > F.col("ymin"))
+    )
+
+
+def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFrame:
+    """Join the weight tiles overlapping each candidate value tile
+    (collect_list of structs; exactly 1 element when schemes align)."""
+    wm = weights.meta
+    w = weights.tiles.select(
+        F.col("tile_row").alias("w_tr"),
+        F.col("tile_col").alias("w_tc"),
+        F.struct(
+            F.col("xmin").alias("xmin"),
+            F.col("ymax").alias("ymax"),
+            F.col("dx").alias("dx"),
+            F.col("dy").alias("dy"),
+            F.col("nrows").alias("nrows"),
+            F.col("ncols").alias("ncols"),
+            F.col("px").alias("px"),
+        ).alias("wtile"),
+    )
+    step_x = wm.dx * wm.tile_w
+    step_y = wm.dy * wm.tile_h
+    wr0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(wm.n_tile_rows - 1),
+            F.floor((F.lit(wm.ymax) - F.col("ymax")) / F.lit(step_y) + F.lit(1e-9)),
+        ),
+    ).cast("int")
+    wr1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(wm.n_tile_rows - 1),
+            F.floor((F.lit(wm.ymax) - F.col("ymin")) / F.lit(step_y) - F.lit(1e-9)),
+        ),
+    ).cast("int")
+    wc0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(wm.n_tile_cols - 1),
+            F.floor((F.col("xmin") - F.lit(wm.xmin)) / F.lit(step_x) + F.lit(1e-9)),
+        ),
+    ).cast("int")
+    wc1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(wm.n_tile_cols - 1),
+            F.floor((F.col("xmax") - F.lit(wm.xmin)) / F.lit(step_x) - F.lit(1e-9)),
+        ),
+    ).cast("int")
+    expanded = cand.withColumn("w_tr", F.explode(F.sequence(wr0, wr1))).withColumn(
+        "w_tc", F.explode(F.sequence(wc0, wc1))
+    )
+    joined = expanded.join(F.broadcast(w), on=["w_tr", "w_tc"], how="left")
+    keys = [c for c in cand.columns]
+    return joined.groupBy(*keys).agg(F.collect_list("wtile").alias("wtiles"))
+
+
+# ---------------------------------------------------------------------------
+# the coverage kernel as a mapInPandas stage
+# ---------------------------------------------------------------------------
+
+def coverage_facts(
+    cand: DataFrame,
+    *,
+    values_meta,
+    weighted: bool = False,
+    area_weights: bool = False,
+    spherical: bool = False,
+    coverage_area: bool = False,
+    include_cell: bool = False,
+    include_xy: bool = False,
+    include_area: bool = False,
+    keep_nodata: bool = False,
+    default_value: float | None = None,
+    default_weight: float | None = None,
+) -> DataFrame:
+    """Run the exact coverage kernel per (feature, tile) row; emit the
+    sparse fact table (feature_id, v, w, cov[, cell, cx, cy, area]).
+
+    This is the Spark materialization of the reference's coverage-fraction
+    raster (raster_cell_intersection.cpp:26-142) in long/sparse form.
+    """
+    raster_xmin = values_meta.xmin
+    raster_ymax = values_meta.ymax
+    raster_width = values_meta.width
+    need_cell = include_cell
+    need_xy = include_xy
+    need_area = include_area or coverage_area or area_weights or spherical
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[bytes, object] = {}
+        for pdf in batches:
+            outs = []
+            has_w = "wtiles" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                gwkb = bytes(row.geom)
+                geom = geom_cache.get(gwkb)
+                if geom is None:
+                    geom = G.from_wkb(gwkb)
+                    if len(geom_cache) > 4096:
+                        geom_cache.clear()
+                    geom_cache[gwkb] = geom
+                tile_grid = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
+                sub = tile_grid.crop(Box(row.fxmin, row.fymin, row.fxmax, row.fymax))
+                if sub.size == 0:
+                    continue
+                cov = coverage_fraction(sub, geom)
+                rr, cc = np.nonzero(cov > 0)
+                if len(rr) == 0:
+                    continue
+                covv = cov[rr, cc]
+                # offsets of the cropped grid within the tile
+                r_off, c_off = tile_grid.row_col_offset(sub)
+                tr = rr + r_off
+                tc = cc + c_off
+                px = np.asarray(row.px, dtype=np.float64).reshape(
+                    int(row.nrows), int(row.ncols)
+                )
+                v = px[tr, tc]
+                if default_value is not None:
+                    v = np.where(np.isnan(v), default_value, v)
+                if not keep_nodata:
+                    ok = ~np.isnan(v)
+                    if not ok.all():
+                        tr, tc, v, covv = tr[ok], tc[ok], v[ok], covv[ok]
+                    if len(v) == 0:
+                        continue
+                n = len(v)
+                # cell centers in world coords
+                cx = tile_grid.xmin + (tc + 0.5) * tile_grid.dx
+                cy = tile_grid.ymax - (tr + 0.5) * tile_grid.dy
+                rec: dict[str, np.ndarray] = {
+                    "feature_id": np.full(n, row.feature_id, dtype=np.int64),
+                    "v": v,
+                    "cov": covv,
+                }
+                if need_area:
+                    area = cell_areas(tile_grid, tr, spherical)
+                else:
+                    area = None
+                if coverage_area and area is not None:
+                    rec["cov"] = covv * area
+                if has_w or area_weights:
+                    if area_weights and area is not None:
+                        w = area.copy()
+                    elif has_w:
+                        w = np.full(n, np.nan)
+                        wtiles = row.wtiles if row.wtiles is not None else []
+                        for wt in wtiles:
+                            wpx = np.asarray(wt["px"], dtype=np.float64).reshape(
+                                int(wt["nrows"]), int(wt["ncols"])
+                            )
+                            wr = np.floor((wt["ymax"] - cy) / wt["dy"]).astype(np.int64)
+                            wc = np.floor((cx - wt["xmin"]) / wt["dx"]).astype(np.int64)
+                            sel = (
+                                (wr >= 0)
+                                & (wr < int(wt["nrows"]))
+                                & (wc >= 0)
+                                & (wc < int(wt["ncols"]))
+                            )
+                            if sel.any():
+                                w[sel] = wpx[wr[sel], wc[sel]]
+                        if default_weight is not None:
+                            w = np.where(np.isnan(w), default_weight, w)
+                    rec["w"] = w
+                else:
+                    rec["w"] = np.full(n, np.nan)
+                if need_cell:
+                    # 1-based global cell index of the value raster, row-major
+                    grow = np.round((raster_ymax - cy - 0.5 * tile_grid.dy) / tile_grid.dy)
+                    gcol = np.round((cx - raster_xmin - 0.5 * tile_grid.dx) / tile_grid.dx)
+                    rec["cell"] = (grow * raster_width + gcol + 1).astype(np.int64)
+                else:
+                    rec["cell"] = np.zeros(n, dtype=np.int64)
+                rec["cx"] = cx if need_xy else np.zeros(n)
+                rec["cy"] = cy if need_xy else np.zeros(n)
+                rec["area"] = area if area is not None else np.zeros(n)
+                outs.append(pd.DataFrame(rec))
+            if outs:
+                df = pd.concat(outs, ignore_index=True)
+                yield df[
+                    ["feature_id", "v", "w", "cov", "cell", "cx", "cy", "area"]
+                ]
+
+    return cand.mapInPandas(_kernel, FACTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def exact_extract(
+    values: Raster,
+    features: DataFrame,
+    stats: "list[str] | str",
+    *,
+    weights: "Raster | str | None" = None,
+    quantiles: "list[float] | None" = None,
+    coverage_area: bool = False,
+    spherical: bool = False,
+    default_value: float | None = None,
+    default_weight: float | None = None,
+    broadcast_features: bool = True,
+    append_cols: "DataFrame | None" = None,
+) -> DataFrame:
+    """Named-stats path of the reference API (R/exact_extract.R:270-773).
+
+    ``features`` must have (feature_id, geom, fxmin..fymax) — see
+    ``sources.features.prepare_features``. ``weights`` may be a second
+    Raster or the string ``'area'`` (cell-area weighting,
+    R/exact_extract_helpers.R:154-160).
+    """
+    if isinstance(stats, str):
+        stats = [stats]
+    plan = StatsPlan(stats, quantiles or [])
+
+    area_weights = weights == "area"
+    wraster = weights if isinstance(weights, Raster) else None
+    if plan.needs_weights and weights is None:
+        raise ValueError(f"stats {sorted(set(stats))} require weights")
+
+    cand = candidate_pairs(values, features, broadcast_features)
+    if wraster is not None:
+        cand = _attach_weights(cand, values, wraster)
+
+    facts = coverage_facts(
+        cand,
+        values_meta=values.meta,
+        weighted=wraster is not None or area_weights,
+        area_weights=area_weights,
+        spherical=spherical,
+        coverage_area=coverage_area,
+        default_value=default_value,
+        default_weight=default_weight,
+    ).select("feature_id", "v", "w", "cov")
+
+    result: DataFrame | None = None
+
+    if plan.algebraic:
+        aggs = plan.algebraic_aggs()
+        agg_df = facts.groupBy("feature_id").agg(*aggs)
+        fin = plan.finalize_columns()
+        result = agg_df.select(
+            "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
+        )
+
+    freq_df = None
+    if plan.freq:
+        freq_df = (
+            facts.groupBy("feature_id", "v")
+            .agg(F.sum("cov").alias("sum_c"), F.sum(F.col("cov") * F.col("w")).alias("sum_cw"))
+        )
+        freq_result = _freq_stats(plan, freq_df)
+        result = (
+            freq_result
+            if result is None
+            else result.join(freq_result, on="feature_id", how="full")
+        )
+
+    # features with no facts: reference returns a row with 0/NA stats
+    # (test_exact_extract.R:433-485) — left join back to the feature list
+    base = features.select("feature_id")
+    result = base.join(result, on="feature_id", how="left")
+    fill = {}
+    for s in ("count", "sum", "weighted_count", "weighted_sum", "variety"):
+        if s in result.columns:
+            fill[s] = 0.0 if s != "variety" else 0
+    if fill:
+        result = result.fillna(fill)
+    if append_cols is not None:
+        result = result.join(append_cols, on="feature_id", how="left")
+    return result.orderBy("feature_id")
+
+
+def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
+    """Frequency-map stats over groupBy(fid, v): mode/minority/variety/
+    median/quantile/frac/weighted_frac (ref raster_stats.h:176-230, 281-304,
+    393-411)."""
+    from pyspark.sql.window import Window
+
+    pieces: list[DataFrame] = []
+    fid = F.col("feature_id")
+
+    wanted = set(plan.freq)
+    if wanted & {"mode", "majority"}:
+        w = Window.partitionBy("feature_id").orderBy(
+            F.desc("sum_c"), F.desc("v")
+        )
+        top = (
+            freq_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(fid, F.col("v").alias("mode"))
+        )
+        for s in [x for x in plan.freq if x in ("mode", "majority")]:
+            pieces.append(top.select(fid, F.col("mode").alias(s)) if s != "mode" else top)
+    if "minority" in wanted:
+        w = Window.partitionBy("feature_id").orderBy(F.asc("sum_c"), F.asc("v"))
+        pieces.append(
+            freq_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(fid, F.col("v").alias("minority"))
+        )
+    if "variety" in wanted:
+        pieces.append(
+            freq_df.groupBy("feature_id").agg(F.count("v").cast("int").alias("variety"))
+        )
+    qs: list[float] = []
+    if "median" in wanted:
+        qs.append(0.5)
+    if "quantile" in wanted:
+        qs.extend(plan.quantiles)
+    if qs:
+        qnames = (["median"] if "median" in wanted else []) + (
+            [quantile_name(q) for q in plan.quantiles] if "quantile" in wanted else []
+        )
+        qvals = qs
+        schema = T.StructType(
+            [T.StructField("feature_id", T.LongType())]
+            + [T.StructField(nm, T.DoubleType()) for nm in qnames]
+        )
+
+        def _q(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = weighted_quantile(
+                pdf["v"].to_numpy(), pdf["sum_c"].to_numpy(), qvals
+            )
+            out = {"feature_id": [pdf["feature_id"].iloc[0]]}
+            for nm, val in zip(qnames, res):
+                out[nm] = [val]
+            return pd.DataFrame(out)
+
+        pieces.append(freq_df.groupBy("feature_id").applyInPandas(_q, schema))
+    for s, num in (("frac", "sum_c"), ("weighted_frac", "sum_cw")):
+        if s in wanted:
+            # global distinct value set across ALL features
+            # (ref exact_extract.cpp:420-434, 533-540) — two-pass like the
+            # reference; the distinct set is tiny (categorical rasters)
+            vals = sorted(
+                r[0] for r in freq_df.select("v").distinct().collect() if r[0] is not None
+            )
+            tot = freq_df.groupBy("feature_id").agg(F.sum(num).alias("_tot"))
+            piv = (
+                freq_df.groupBy("feature_id")
+                .pivot("v", vals)
+                .agg(F.first(num))
+                .join(tot, on="feature_id")
+            )
+            sel = [fid]
+            for vv in vals:
+                cname = f"{vv:g}".replace("-", "m").replace(".", "_")
+                sel.append(
+                    (F.coalesce(F.col(f"`{vv}`"), F.lit(0.0)) / F.col("_tot")).alias(
+                        f"{s}_{cname}"
+                    )
+                )
+            pieces.append(piv.select(*sel))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.join(p, on="feature_id", how="full")
+    return out

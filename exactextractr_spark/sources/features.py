@@ -1,0 +1,72 @@
+"""Vector feature source: polygons as WKT/WKB columns + computed bounds.
+
+The reference receives features one at a time as EWKB
+(``R/exact_extract.R:527``); here features are a DataFrame
+``(feature_id, geom:binary, fxmin, fymin, fxmax, fymax)`` whose bbox columns
+drive the candidate join (Catalyst range predicates + partition pruning).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import geom as G
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.LongType(), False),
+        T.StructField("geom", T.BinaryType(), False),
+        T.StructField("fxmin", T.DoubleType(), True),
+        T.StructField("fymin", T.DoubleType(), True),
+        T.StructField("fxmax", T.DoubleType(), True),
+        T.StructField("fymax", T.DoubleType(), True),
+    ]
+)
+
+
+def features_from_wkt(
+    spark: SparkSession, wkts: Sequence[str], ids: Sequence[int] | None = None
+) -> DataFrame:
+    """Small driver-side helper (tests / API parity with sf input)."""
+    rows = []
+    for i, wkt in enumerate(wkts):
+        g = G.from_wkt(wkt)
+        b = g.bounds()
+        fid = int(ids[i]) if ids is not None else i + 1
+        rows.append((fid, bytearray(G.to_wkb(g)), b[0], b[1], b[2], b[3]))
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def prepare_features(
+    df: DataFrame, id_col: str = "feature_id", geom_col: str = "geom"
+) -> DataFrame:
+    """Normalize an arbitrary feature DataFrame: parse WKB (binary column)
+    or WKT (string column) and attach bbox columns, Arrow-batched."""
+    is_wkt = dict(df.dtypes)[geom_col] in ("string",)
+
+    def _prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geoms = []
+            bounds = []
+            for raw in pdf[geom_col]:
+                g = G.from_wkt(raw) if is_wkt else G.from_wkb(bytes(raw))
+                geoms.append(bytearray(G.to_wkb(g)))
+                bounds.append(g.bounds())
+            out = pd.DataFrame(
+                {
+                    "feature_id": pdf[id_col].astype("int64"),
+                    "geom": geoms,
+                    "fxmin": [b[0] for b in bounds],
+                    "fymin": [b[1] for b in bounds],
+                    "fxmax": [b[2] for b in bounds],
+                    "fymax": [b[3] for b in bounds],
+                }
+            )
+            yield out
+
+    return df.select(id_col, geom_col).mapInPandas(_prep, FEATURE_SCHEMA)

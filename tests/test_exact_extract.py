@@ -1,0 +1,260 @@
+"""End-to-end exact_extract goldens mirroring the reference testthat suite
+(/root/reference/tests/testthat/test_exact_extract.R; fixtures in
+/root/repo/FIXTURES.md)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from exactextractr_spark.operators.zonal import exact_extract
+from exactextractr_spark.sources.features import features_from_wkt
+from exactextractr_spark.sources.tiles import Raster, RasterMeta
+
+SQ_WKT = "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"
+
+
+def meta33(layer="values"):
+    return RasterMeta(layer=layer, xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+
+
+@pytest.fixture(scope="module")
+def r19(spark):
+    """values 1..9 row-major on (0,0)-(3,3) (test_exact_extract.R:22-27)."""
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    return Raster.from_array(spark, arr, meta33())
+
+
+@pytest.fixture(scope="module")
+def sq(spark):
+    return features_from_wkt(spark, [SQ_WKT])
+
+
+def one_row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_basic_stats(spark, r19, sq):
+    # goldens: test_exact_extract.R:42-55
+    got = one_row(
+        exact_extract(
+            r19,
+            sq,
+            ["count", "sum", "mean", "min", "max", "variance", "stdev",
+             "coefficient_of_variation", "variety", "mode", "majority", "minority",
+             "median", "quantile"],
+            quantiles=[0.25, 0.75],
+        )
+    )
+    assert got["count"] == pytest.approx(4.0)
+    assert got["sum"] == pytest.approx(20.0)
+    assert got["mean"] == pytest.approx(5.0)
+    assert got["min"] == 1.0
+    assert got["max"] == 9.0
+    assert got["variance"] == pytest.approx(5.0)
+    assert got["stdev"] == pytest.approx(math.sqrt(5.0))
+    assert got["coefficient_of_variation"] == pytest.approx(math.sqrt(5.0) / 5.0)
+    assert got["variety"] == 9
+    assert got["mode"] == 5.0
+    assert got["majority"] == 5.0
+    assert got["minority"] == 1.0
+    assert got["median"] == pytest.approx(5.0)
+    assert got["q25"] == pytest.approx(3.5)
+    assert got["q75"] == pytest.approx(6.5)
+
+
+def test_equal_weights(spark, r19, sq):
+    # test_exact_extract.R:65-92: all-1 weights -> weighted == unweighted
+    ones = Raster.from_array(spark, np.ones((3, 3)), meta33("w"))
+    got = one_row(
+        exact_extract(
+            r19,
+            sq,
+            ["mean", "weighted_mean", "sum", "weighted_sum", "variance",
+             "weighted_variance", "stdev", "weighted_stdev"],
+            weights=ones,
+        )
+    )
+    assert got["weighted_mean"] == pytest.approx(got["mean"]) == pytest.approx(5.0)
+    assert got["weighted_sum"] == pytest.approx(got["sum"]) == pytest.approx(20.0)
+    assert got["weighted_variance"] == pytest.approx(got["variance"])
+    assert got["weighted_stdev"] == pytest.approx(got["stdev"])
+
+
+def test_bottom_row_weights(spark, r19, sq):
+    # test_exact_extract.R:94-105
+    w = np.zeros((3, 3))
+    w[2, :] = 1.0
+    wr = Raster.from_array(spark, w, meta33("w"))
+    got = one_row(
+        exact_extract(
+            r19,
+            sq,
+            ["weighted_mean", "weighted_sum", "weighted_stdev", "weighted_variance"],
+            weights=wr,
+        )
+    )
+    assert got["weighted_mean"] == pytest.approx(8.0)
+    assert got["weighted_sum"] == pytest.approx(8.0)
+    assert got["weighted_variance"] == pytest.approx(0.5)
+    assert got["weighted_stdev"] == pytest.approx(0.7071068, rel=1e-6)
+
+
+def test_frac(spark, sq):
+    # FIXTURES F3 / test_exact_extract.R:108-135
+    arr = np.array([[1, 1, 1], [2, 2, 2], [3, 3, 3]], dtype=np.float64)
+    cat = Raster.from_array(spark, arr, meta33("cat"))
+    feats = features_from_wkt(
+        spark,
+        [
+            "POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))",
+            SQ_WKT,
+        ],
+    )
+    df = exact_extract(cat, feats, ["count", "frac"]).orderBy("feature_id")
+    rows = [r.asDict() for r in df.collect()]
+    r1, r2 = rows
+    assert r1["count"] == pytest.approx(0.25)
+    assert r1["frac_1"] == pytest.approx(0.0)
+    assert r1["frac_2"] == pytest.approx(0.0)
+    assert r1["frac_3"] == pytest.approx(1.0)
+    assert r2["count"] == pytest.approx(4.0)
+    assert r2["frac_1"] == pytest.approx(0.25)
+    assert r2["frac_2"] == pytest.approx(0.5)
+    assert r2["frac_3"] == pytest.approx(0.25)
+
+
+def test_weighted_frac(spark, sq):
+    arr = np.array([[1, 1, 1], [2, 2, 2], [3, 3, 3]], dtype=np.float64)
+    wts = np.array([[3, 3, 3], [2, 2, 2], [1, 1, 1]], dtype=np.float64)
+    cat = Raster.from_array(spark, arr, meta33("cat"))
+    wr = Raster.from_array(spark, wts, meta33("w"))
+    feats = features_from_wkt(
+        spark,
+        ["POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))", SQ_WKT],
+    )
+    df = exact_extract(cat, feats, ["weighted_frac", "sum"], weights=wr)
+    rows = [r.asDict() for r in df.orderBy("feature_id").collect()]
+    r1, r2 = rows
+    assert r1["weighted_frac_1"] == pytest.approx(0.0)
+    assert r1["weighted_frac_2"] == pytest.approx(0.0)
+    assert r1["weighted_frac_3"] == pytest.approx(1.0)
+    assert r1["sum"] == pytest.approx(0.75)
+    assert r2["weighted_frac_1"] == pytest.approx(0.375)
+    assert r2["weighted_frac_2"] == pytest.approx(0.5)
+    assert r2["weighted_frac_3"] == pytest.approx(0.125)
+    assert r2["sum"] == pytest.approx(8.0)
+
+
+def test_na_handling(spark):
+    # FIXTURES F4 / test_exact_extract.R:176-197
+    arr = np.arange(1, 101, dtype=np.float64).reshape(10, 10)
+    arr[6:10, 0:4] = np.nan  # rows 7-10 x cols 1-4 (1-based)
+    meta = RasterMeta("v", xmin=0, ymax=10, dx=1, dy=1, width=10, height=10,
+                      tile_w=10, tile_h=10)
+    r = Raster.from_array(spark, arr, meta)
+    feats = features_from_wkt(
+        spark,
+        [
+            # square fully inside the NA region
+            "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))",
+            # square (3.5,3.5)-(4.5,4.5): sum = 43.5
+            "POLYGON ((3.5 3.5, 4.5 3.5, 4.5 4.5, 3.5 4.5, 3.5 3.5))",
+        ],
+    )
+    rows = [
+        r_.asDict()
+        for r_ in exact_extract(r, feats, ["count", "sum", "mean"]).collect()
+    ]
+    assert rows[0]["count"] == pytest.approx(0.0)
+    assert rows[0]["sum"] == pytest.approx(0.0)
+    assert rows[0]["mean"] is None
+    assert rows[1]["sum"] == pytest.approx(43.5)
+
+
+def test_multires_weights(spark):
+    # FIXTURES F2 multiresolution (test_stats.cpp:101-129): value grid 8x6@1,
+    # weight grid 4x3@2, polygon (3.5,1.5)-(6.5,2.5)
+    vals = np.arange(1, 49, dtype=np.float64).reshape(6, 8)
+    wts = np.arange(1, 13, dtype=np.float64).reshape(3, 4)
+    vmeta = RasterMeta("v", xmin=0, ymax=6, dx=1, dy=1, width=8, height=6,
+                       tile_w=8, tile_h=6)
+    wmeta = RasterMeta("w", xmin=0, ymax=6, dx=2, dy=2, width=4, height=3,
+                       tile_w=4, tile_h=3)
+    rv = Raster.from_array(spark, vals, vmeta)
+    rw = Raster.from_array(spark, wts, wmeta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((3.5 1.5, 6.5 1.5, 6.5 2.5, 3.5 2.5, 3.5 1.5))"]
+    )
+    got = one_row(exact_extract(rv, feats, ["weighted_mean", "mean"], weights=rw))
+    # oracle: direct numpy computation of the same formula
+    cov = np.zeros((6, 8))
+    for rr in range(6):
+        for cc in range(8):
+            ox = max(0, min(6.5, cc + 1) - max(3.5, cc))
+            oy = max(0, min(2.5, 6 - rr) - max(1.5, 5 - rr))
+            cov[rr, cc] = ox * oy
+    wfull = np.kron(wts, np.ones((2, 2)))
+    want_wm = (vals * cov * wfull).sum() / (cov * wfull).sum()
+    want_m = (vals * cov).sum() / cov.sum()
+    assert got["weighted_mean"] == pytest.approx(want_wm, rel=1e-12)
+    assert got["mean"] == pytest.approx(want_m, rel=1e-12)
+
+
+def test_polygon_outside_raster(spark, r19):
+    # test_exact_extract.R:433-485: disjoint polygon -> count/sum 0, mean NA
+    feats = features_from_wkt(
+        spark, ["POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))"]
+    )
+    got = one_row(exact_extract(r19, feats, ["count", "sum", "mean", "min", "max"]))
+    assert got["count"] == 0.0
+    assert got["sum"] == 0.0
+    assert got["mean"] is None
+    assert got["min"] is None
+
+
+def test_multi_tile_chunking_equivalence(spark, sq):
+    # chunking equivalence (test_exact_extract.R:598-604): same answer when
+    # the raster is split into many small tiles — Spark partitions ARE the
+    # reference's subdivide() chunks
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    tiny = RasterMeta("values", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=1, tile_h=2)
+    r = Raster.from_array(spark, arr, tiny)
+    got = one_row(
+        exact_extract(r, sq, ["count", "sum", "mean", "variance", "median"])
+    )
+    assert got["count"] == pytest.approx(4.0)
+    assert got["sum"] == pytest.approx(20.0)
+    assert got["mean"] == pytest.approx(5.0)
+    assert got["variance"] == pytest.approx(5.0)
+    assert got["median"] == pytest.approx(5.0)
+
+
+def test_default_value(spark):
+    # test_exact_extract.R:1048-1086
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    arr[1, 1] = np.nan
+    r = Raster.from_array(spark, arr, meta33())
+    feats = features_from_wkt(spark, [SQ_WKT])
+    got = one_row(exact_extract(r, feats, ["sum"], default_value=5.0))
+    assert got["sum"] == pytest.approx(20.0)
+    got2 = one_row(exact_extract(r, feats, ["sum"]))
+    assert got2["sum"] == pytest.approx(15.0)
+
+
+def test_coverage_area_mode(spark, r19, sq):
+    # coverage_area=True: count becomes covered area (cell area = 1 here)
+    got = one_row(exact_extract(r19, sq, ["count"], coverage_area=True))
+    assert got["count"] == pytest.approx(4.0)
+
+
+def test_area_weights(spark, r19, sq):
+    # weights='area', cartesian: constant weight == unweighted
+    got = one_row(
+        exact_extract(r19, sq, ["weighted_mean", "mean"], weights="area")
+    )
+    assert got["weighted_mean"] == pytest.approx(got["mean"])

@@ -408,6 +408,68 @@ def exact_extract(
     return result.orderBy("feature_id")
 
 
+def exact_extract_pixels(
+    values: Raster,
+    features: DataFrame,
+    *,
+    weights: "Raster | None" = None,
+    include_xy: bool = False,
+    include_cell: bool = False,
+    include_area: bool = False,
+    coverage_area: bool = False,
+    spherical: bool = False,
+    default_value: float | None = None,
+    default_weight: float | None = None,
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """The R-function path's pixel table (ref src/exact_extract.cpp:46-237):
+    one row per (feature, covered cell) with value / coverage_fraction /
+    optional weight / x / y / cell / area columns."""
+    cand = candidate_pairs(values, features, broadcast_features)
+    if weights is not None:
+        cand = _attach_weights(cand, values, weights)
+    facts = coverage_facts(
+        cand,
+        values_meta=values.meta,
+        include_cell=include_cell,
+        include_xy=include_xy,
+        include_area=include_area,
+        coverage_area=coverage_area,
+        spherical=spherical,
+        default_value=default_value,
+        default_weight=default_weight,
+    )
+    cols = [F.col("feature_id"), F.col("v").alias("value")]
+    if weights is not None:
+        cols.append(F.col("w").alias("weight"))
+    cols.append(F.col("cov").alias("coverage_fraction"))
+    if include_xy:
+        cols += [F.col("cx").alias("x"), F.col("cy").alias("y")]
+    if include_cell:
+        cols.append(F.col("cell"))
+    if include_area:
+        cols.append(F.col("area"))
+    return facts.select(*cols)
+
+
+def exact_extract_apply(
+    values: Raster,
+    features: DataFrame,
+    fn,
+    schema,
+    *,
+    weights: "Raster | None" = None,
+    **pixel_kwargs,
+) -> DataFrame:
+    """UD(A)F surface — the reference's R-function path
+    (R/exact_extract.R:144-166, 585-721): ``fn(pdf) -> pdf`` receives one
+    pandas frame per feature (columns value/coverage_fraction[/weight/...])
+    and may return any number of rows. One-to-one Spark analog:
+    groupBy(feature_id).applyInPandas."""
+    pixels = exact_extract_pixels(values, features, weights=weights, **pixel_kwargs)
+    return pixels.groupBy("feature_id").applyInPandas(fn, schema)
+
+
 def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
     """Frequency-map stats over groupBy(fid, v): mode/minority/variety/
     median/quantile/frac/weighted_frac (ref raster_stats.h:176-230, 281-304,

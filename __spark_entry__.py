@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The geospatial engine's queries run over a deterministic synthetic raster
+(48x48, v = cell_index % 97, quarter-aligned rectangle features derived
+arithmetically from ``customer``) so DuckDB can recompute the exact same
+coverage fractions in closed form (rectangles ⇒ the reference's rectangle
+fast path, raster_cell_intersection.cpp:161-248). All coverage values are
+dyadic rationals (multiples of 1/16) and values are small integers, so every
+aggregate is EXACT in float64 regardless of summation order — Spark and
+DuckDB produce bit-identical doubles.
+
+The Spark side exercises the full pipeline: PNG-encoded tile table → Arrow
+decode → tile-cover candidate join → exact coverage kernel → stat algebra.
+The DuckDB oracle only knows the closed-form rectangle overlap.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# deterministic synthetic raster + features (shared Spark/DuckDB definitions)
+# ---------------------------------------------------------------------------
+
+GRID_N = 48  # 48x48 cells on (0,0)-(48,48), dx=dy=1
+TILE = 16  # 3x3 tiles
+N_FEATS = 24
+
+_raster_cache: dict[str, object] = {}
+
+
+def _synth_raster(spark: SparkSession, weights: bool = False):
+    from exactextractr_spark.sources.tiles import Raster, RasterMeta
+
+    key = f"r{'w' if weights else 'v'}-{id(spark)}"
+    if key not in _raster_cache:
+        i = np.arange(GRID_N * GRID_N).reshape(GRID_N, GRID_N)
+        if weights:
+            r, c = np.divmod(i, GRID_N)
+            arr = ((r + 2 * c) % 13).astype(np.float64)
+            meta = RasterMeta("w", xmin=0, ymax=GRID_N, dx=1, dy=1,
+                              width=GRID_N, height=GRID_N, tile_w=TILE, tile_h=TILE)
+        else:
+            arr = (i % 97).astype(np.float64)
+            meta = RasterMeta("v", xmin=0, ymax=GRID_N, dx=1, dy=1,
+                              width=GRID_N, height=GRID_N, tile_w=TILE, tile_h=TILE)
+        _raster_cache[key] = Raster.from_array(spark, arr, meta)
+    return _raster_cache[key]
+
+
+def _synth_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangles derived arithmetically from customer keys; quarter-aligned
+    so all coverage fractions are multiples of 1/16 (exact dyadics)."""
+    from exactextractr_spark.sources.features import prepare_features
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    fxmin = ((k * 7) % 37) + F.lit(0.25)
+    fymin = ((k * 11) % 37) + F.lit(0.25)
+    fxmax = fxmin + (k % 5) + F.lit(1.5)
+    fymax = fymin + (k % 7) + F.lit(1.5)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        fxmin.cast("string"), F.lit(" "), fymin.cast("string"), F.lit(", "),
+        fxmax.cast("string"), F.lit(" "), fymin.cast("string"), F.lit(", "),
+        fxmax.cast("string"), F.lit(" "), fymax.cast("string"), F.lit(", "),
+        fxmin.cast("string"), F.lit(" "), fymax.cast("string"), F.lit(", "),
+        fxmin.cast("string"), F.lit(" "), fymin.cast("string"), F.lit("))"),
+    )
+    raw = (
+        cust.filter(k <= N_FEATS)
+        .select(k.alias("feature_id"), wkt.alias("geom"))
+    )
+    return prepare_features(raw, "feature_id", "geom")
+
+
+# oracle CTE shared by the zonal queries: closed-form rectangle coverage
+_FACTS_CTE = f"""
+WITH cells AS (
+  SELECT CAST(i // {GRID_N} AS BIGINT) AS r, CAST(i % {GRID_N} AS BIGINT) AS c,
+         CAST(i % 97 AS DOUBLE) AS v,
+         CAST(((i // {GRID_N}) + 2 * (i % {GRID_N})) % 13 AS DOUBLE) AS w
+  FROM range({GRID_N * GRID_N}) t(i)
+), feats AS (
+  SELECT c_custkey AS feature_id,
+         ((c_custkey * 7) % 37) + 0.25 AS fxmin,
+         ((c_custkey * 11) % 37) + 0.25 AS fymin,
+         ((c_custkey * 7) % 37) + 0.25 + (c_custkey % 5) + 1.5 AS fxmax,
+         ((c_custkey * 11) % 37) + 0.25 + (c_custkey % 7) + 1.5 AS fymax
+  FROM customer WHERE c_custkey <= {N_FEATS}
+), facts AS (
+  SELECT f.feature_id, cl.r, cl.c, cl.v, cl.w,
+         GREATEST(0, LEAST(f.fxmax, cl.c + 1) - GREATEST(f.fxmin, cl.c)) *
+         GREATEST(0, LEAST(f.fymax, {GRID_N} - cl.r) - GREATEST(f.fymin, {GRID_N} - 1 - cl.r)) AS cov
+  FROM feats f
+  JOIN cells cl
+    ON cl.c + 1 > f.fxmin AND cl.c < f.fxmax
+   AND {GRID_N} - cl.r > f.fymin AND {GRID_N} - 1 - cl.r < f.fymax
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_zonal_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["mean", "sum", "count"],
+    )
+    return df.select(
+        "feature_id",
+        F.col("mean").alias("mean_v"),
+        F.col("sum").alias("sum_v"),
+        F.col("count").alias("cell_count"),
+    )
+
+
+def _q_zonal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["min", "max", "variance", "stdev"],
+    )
+    return df.select(
+        "feature_id",
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.col("variance").alias("var_v"),
+        F.col("stdev").alias("stdev_v"),
+    )
+
+
+def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["weighted_mean", "weighted_sum", "weighted_count"],
+        weights=_synth_raster(spark, weights=True),
+    )
+    return df.select(
+        "feature_id",
+        F.col("weighted_mean").alias("wmean_v"),
+        F.col("weighted_sum").alias("wsum_v"),
+        F.col("weighted_count").alias("wcount_v"),
+    )
+
+
+def _q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["mode", "minority", "variety"],
+    )
+    return df.select(
+        "feature_id",
+        F.col("mode").alias("mode_v"),
+        F.col("minority").alias("minority_v"),
+        F.col("variety").cast("long").alias("variety_v"),
+    )
+
+
+def _q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["median", "quantile"], quantiles=[0.25, 0.75],
+    )
+    return df.select(
+        "feature_id", "median", F.col("q25").alias("q25_v"), F.col("q75").alias("q75_v")
+    )
+
+
+def _q_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    px = exact_extract_pixels(_synth_raster(spark), _synth_features(spark, sf_dir))
+    freq = px.groupBy("feature_id", F.col("value").alias("val")).agg(
+        F.sum("coverage_fraction").alias("sum_c")
+    )
+    tot = freq.groupBy("feature_id").agg(F.sum("sum_c").alias("tot"))
+    return freq.join(tot, "feature_id").select(
+        "feature_id", "val", (F.col("sum_c") / F.col("tot")).alias("frac")
+    )
+
+
+def _q_coverage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.coverage_op import coverage_fraction_df
+
+    return coverage_fraction_df(
+        _synth_raster(spark), _synth_features(spark, sf_dir), include_xy=False
+    ).select("feature_id", "cell", "cov")
+
+
+def _q_candidate_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import candidate_pairs
+
+    cand = candidate_pairs(_synth_raster(spark), _synth_features(spark, sf_dir))
+    return cand.groupBy("feature_id").agg(
+        F.count("*").cast("long").alias("n_tiles")
+    )
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.rasterize import rasterize_polygons
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    meta = RasterMeta("g", xmin=0, ymax=GRID_N, dx=1, dy=1, width=GRID_N,
+                      height=GRID_N, tile_w=TILE, tile_h=TILE)
+    return rasterize_polygons(
+        spark, _synth_features(spark, sf_dir), meta
+    ).select("cell", F.col("feature_id").alias("winner"))
+
+
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.resample import exact_resample
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    dst = RasterMeta("d", xmin=0, ymax=GRID_N, dx=4, dy=4, width=GRID_N // 4,
+                     height=GRID_N // 4, tile_w=GRID_N // 4, tile_h=GRID_N // 4)
+    return exact_resample(_synth_raster(spark), dst, "sum").select(
+        F.col("dst_row").cast("long").alias("dst_row"),
+        F.col("dst_col").cast("long").alias("dst_col"),
+        F.col("value").alias("sum_v"),
+    )
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.core.cellindex import CellIndex
+    from exactextractr_spark.operators.knn import knn_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    points = cust.filter(k <= 600).select(
+        k.alias("pid"),
+        (((k * 13) % 97) / F.lit(2.0)).alias("px"),
+        (((k * 29) % 89) / F.lit(2.0)).alias("py"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey")
+    queries = nat.select(
+        nk.cast("long").alias("qid"),
+        (((nk * 17) % 97) / F.lit(2.0)).alias("qx"),
+        (((nk * 23) % 89) / F.lit(2.0)).alias("qy"),
+    )
+    idx = CellIndex(0.0, 0.0, 48.0, 48.0)
+    out = knn_points(queries, points, 5, index=idx, res=4)
+    return out.select("qid", "pid", "dist", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = cosine_topk(emb, queries, 10)
+    return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # dedup on a 40-char normalized prefix to force collisions
+    norm = F.lower(F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40))
+    return (
+        docs.withColumn("_k", norm)
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").cast("long").alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.textstats import quality_scores, token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = token_counts(quality_scores(docs))
+    return df.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        "punct_ratio",
+        "distinct_word_ratio",
+    )
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (hash family not expressible in SQL)."""
+    from exactextractr_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.8)
+    return kept.select("doc_id")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (FNV bit-mixing not expressible in SQL)."""
+    from exactextractr_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs).select("doc_id", "simhash")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full zonal pipeline at sf0.001."""
+    return _q_zonal_basic(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "zonal_mean_sum_count": _q_zonal_basic,
+        "zonal_min_max_var": _q_zonal_minmax,
+        "zonal_weighted": _q_zonal_weighted,
+        "zonal_mode_minority_variety": _q_zonal_mode,
+        "zonal_quantiles": _q_zonal_quantiles,
+        "zonal_frac_long": _q_zonal_frac,
+        "coverage_sparse": _q_coverage_sparse,
+        "candidate_tiles": _q_candidate_tiles,
+        "rasterize_argmax": _q_rasterize,
+        "resample_sum": _q_resample,
+        "knn_ring": _q_knn,
+        "cosine_topk": _q_cosine_topk,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = GRID_N
+    return {
+        "zonal_mean_sum_count": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov) / SUM(cov) AS mean_v,
+       SUM(v * cov) AS sum_v,
+       SUM(cov) AS cell_count
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_min_max_var": _FACTS_CTE + """
+SELECT feature_id,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       GREATEST(SUM(v*v*cov)/SUM(cov) - (SUM(v*cov)/SUM(cov))*(SUM(v*cov)/SUM(cov)), 0) AS var_v,
+       SQRT(GREATEST(SUM(v*v*cov)/SUM(cov) - (SUM(v*cov)/SUM(cov))*(SUM(v*cov)/SUM(cov)), 0)) AS stdev_v
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_weighted": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov * w) / SUM(cov * w) AS wmean_v,
+       SUM(v * cov * w) AS wsum_v,
+       SUM(cov * w) AS wcount_v
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_mode_minority_variety": _FACTS_CTE + """
+, freq AS (
+  SELECT feature_id, v, SUM(cov) AS sum_c
+  FROM facts WHERE cov > 0 GROUP BY feature_id, v
+), ranked AS (
+  SELECT feature_id, v, sum_c,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY sum_c DESC, v DESC) AS rn_mode,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY sum_c ASC, v ASC) AS rn_min
+  FROM freq
+)
+SELECT m.feature_id,
+       m.v AS mode_v,
+       mi.v AS minority_v,
+       vt.variety_v
+FROM (SELECT feature_id, v FROM ranked WHERE rn_mode = 1) m
+JOIN (SELECT feature_id, v FROM ranked WHERE rn_min = 1) mi USING (feature_id)
+JOIN (SELECT feature_id, COUNT(*) AS variety_v FROM freq GROUP BY feature_id) vt USING (feature_id)
+""",
+        "zonal_quantiles": _FACTS_CTE + """
+, freq AS (
+  SELECT feature_id, v, SUM(cov) AS w
+  FROM facts WHERE cov > 0 GROUP BY feature_id, v
+), ranked AS (
+  SELECT feature_id, v, w,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY v) - 1 AS k,
+         COUNT(*) OVER (PARTITION BY feature_id) AS n,
+         SUM(w) OVER (PARTITION BY feature_id ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY feature_id) AS totw
+  FROM freq
+), scored AS (
+  SELECT feature_id, v, k, n, totw,
+         CASE WHEN k = 0 THEN 0.0 ELSE k * w + (n - 1) * (cw - w) END AS s,
+         totw * (n - 1) AS sn
+  FROM ranked
+), nxt AS (
+  SELECT feature_id, v, s, sn, n,
+         LEAD(v) OVER (PARTITION BY feature_id ORDER BY s) AS nv,
+         LEAD(s) OVER (PARTITION BY feature_id ORDER BY s) AS ns
+  FROM scored
+), qv AS (
+  SELECT feature_id, q,
+         CASE WHEN n = 1 THEN v
+              WHEN ns IS NULL THEN v
+              ELSE v + (q * sn - s) * (nv - v) / (ns - s) END AS qval
+  FROM nxt CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75]) AS q) qs
+  WHERE s <= q * sn AND (ns IS NULL OR ns > q * sn)
+)
+SELECT feature_id,
+       MAX(CASE WHEN q = 0.5 THEN qval END) AS median,
+       MAX(CASE WHEN q = 0.25 THEN qval END) AS q25_v,
+       MAX(CASE WHEN q = 0.75 THEN qval END) AS q75_v
+FROM qv GROUP BY feature_id
+""",
+        "zonal_frac_long": _FACTS_CTE + """
+, freq AS (
+  SELECT feature_id, v AS val, SUM(cov) AS sum_c
+  FROM facts WHERE cov > 0 GROUP BY feature_id, v
+), tot AS (
+  SELECT feature_id, SUM(sum_c) AS tot FROM freq GROUP BY feature_id
+)
+SELECT f.feature_id, f.val, f.sum_c / t.tot AS frac
+FROM freq f JOIN tot t USING (feature_id)
+""",
+        "coverage_sparse": _FACTS_CTE + f"""
+SELECT feature_id, r * {g} + c + 1 AS cell, cov
+FROM facts WHERE cov > 0
+""",
+        "candidate_tiles": f"""
+WITH feats AS (
+  SELECT c_custkey AS feature_id,
+         ((c_custkey * 7) % 37) + 0.25 AS fxmin,
+         ((c_custkey * 11) % 37) + 0.25 AS fymin,
+         ((c_custkey * 7) % 37) + 0.25 + (c_custkey % 5) + 1.5 AS fxmax,
+         ((c_custkey * 11) % 37) + 0.25 + (c_custkey % 7) + 1.5 AS fymax
+  FROM customer WHERE c_custkey <= {N_FEATS}
+), tiles AS (
+  SELECT CAST(i // 3 AS BIGINT) AS tr, CAST(i % 3 AS BIGINT) AS tc
+  FROM range(9) t(i)
+)
+SELECT f.feature_id, COUNT(*) AS n_tiles
+FROM feats f JOIN tiles t
+  ON f.fxmin < (t.tc + 1) * {TILE} AND f.fxmax > t.tc * {TILE}
+ AND f.fymin < {g} - t.tr * {TILE} AND f.fymax > {g} - (t.tr + 1) * {TILE}
+GROUP BY f.feature_id
+""",
+        "rasterize_argmax": _FACTS_CTE + f"""
+, ranked AS (
+  SELECT r * {g} + c + 1 AS cell, feature_id,
+         ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY cov DESC, feature_id ASC) AS rn
+  FROM facts WHERE cov > 0
+)
+SELECT cell, feature_id AS winner FROM ranked WHERE rn = 1
+""",
+        "resample_sum": f"""
+WITH cells AS (
+  SELECT CAST(i // {g} AS BIGINT) AS r, CAST(i % {g} AS BIGINT) AS c,
+         CAST(i % 97 AS DOUBLE) AS v
+  FROM range({g * g}) t(i)
+)
+SELECT r // 4 AS dst_row, c // 4 AS dst_col, SUM(v) AS sum_v
+FROM cells GROUP BY r // 4, c // 4
+""",
+        "knn_ring": f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ((c_custkey * 13) % 97) / 2.0 AS px,
+         ((c_custkey * 29) % 89) / 2.0 AS py
+  FROM customer WHERE c_custkey <= 600
+), qs AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS qid,
+         ((n_nationkey * 17) % 97) / 2.0 AS qx,
+         ((n_nationkey * 23) % 89) / 2.0 AS qy
+  FROM nation
+), scored AS (
+  SELECT q.qid, p.pid,
+         SQRT(POW(q.qx - p.px, 2) + POW(q.qy - p.py, 2)) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY SQRT(POW(q.qx - p.px, 2) + POW(q.qy - p.py, 2)), p.pid) AS rank
+  FROM qs q CROSS JOIN pts p
+)
+SELECT qid, pid, dist, rank FROM scored WHERE rank <= 5
+""",
+        "cosine_topk": """
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid, e.vec_id AS item_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cos_sim
+  FROM embeddings e CROSS JOIN qs q
+), ranked AS (
+  SELECT qid, item_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, item_id, rank FROM ranked WHERE rank <= 10
+""",
+        "dedup_exact": r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY lower(substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 40))
+""",
+        "text_quality": r"""
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_words,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS punct_ratio,
+       CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE)
+         / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS distinct_word_ratio
+FROM documents
+""",
+        # minhash_dedup / simhash / lang_id: rows-only (hash families and
+        # argmax-by-struct not expressible portably in SQL)
+    }

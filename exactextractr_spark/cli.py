@@ -1,0 +1,103 @@
+"""spark-submit entry point — the CLI ``exactextract`` analog.
+
+Reference: ``/root/reference/src/exactextract/src/exactextract.cpp:42-172``.
+
+    spark-submit --py-files exactextractr_spark.zip -m exactextractr_spark.cli \\
+        --polys features.parquet --id feature_id --geom geom \\
+        --tiles tiles.parquet --layer v [--weight-layer w] \\
+        --stat "mean(v)" --stat "pop_sum=weighted_sum(v,w)" \\
+        -o out.parquet [--checkpoint-dir /ckpt]
+
+The tile table must be the image+caption shape (TESTDATA/FIXTURES F0.1);
+grid metadata is read from the first tile's caption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _raster_meta_from_caption(caption: str, tile_w: int, tile_h: int):
+    from .sources.tiles import RasterMeta
+
+    c = json.loads(caption)
+    return RasterMeta(
+        layer=c["layer"],
+        xmin=c.get("raster_xmin", c["xmin"]),
+        ymax=c.get("raster_ymax", c["ymax"]),
+        dx=c["dx"],
+        dy=c["dy"],
+        width=c.get("raster_width"),
+        height=c.get("raster_height"),
+        tile_w=c.get("tile_w", tile_w),
+        tile_h=c.get("tile_h", tile_h),
+        crs=c.get("crs", ""),
+        nodata=c.get("nodata"),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("exactextractr-spark")
+    p.add_argument("--polys", required=True, help="parquet with features")
+    p.add_argument("--id", default="feature_id")
+    p.add_argument("--geom", default="geom")
+    p.add_argument("--tiles", required=True, help="parquet image+caption tile table")
+    p.add_argument("--layer", default=None, help="value layer name")
+    p.add_argument("--weight-layer", default=None)
+    p.add_argument("--stat", action="append", required=True,
+                   help="stat descriptor, e.g. 'mean(v)' or 'ws=weighted_sum(v,w)'")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from .checkpoint import ZonalCheckpointer
+    from .operators.zonal import exact_extract
+    from .plans.descriptors import parse_stat_descriptor
+    from .session import get_spark
+    from .sources.features import prepare_features
+    from .sources.tiles import Raster
+
+    spark = get_spark("exactextractr-spark-cli", master=args.master)
+    t0 = time.time()
+
+    descs = [parse_stat_descriptor(s) for s in args.stat]
+    stats = [d.stat for d in descs]
+
+    tiles = spark.read.parquet(args.tiles)
+    first = tiles.limit(1).collect()[0]
+    vmeta = _raster_meta_from_caption(first["caption"], first["w"], first["h"])
+    if args.layer:
+        vmeta = type(vmeta)(**{**vmeta.__dict__, "layer": args.layer})
+    values = Raster.from_tiles(tiles, vmeta)
+    weights = None
+    if args.weight_layer:
+        wmeta = type(vmeta)(**{**vmeta.__dict__, "layer": args.weight_layer})
+        weights = Raster.from_tiles(tiles, wmeta)
+
+    feats = prepare_features(spark.read.parquet(args.polys), args.id, args.geom)
+
+    if args.checkpoint_dir:
+        ck = ZonalCheckpointer(args.checkpoint_dir)
+        out = ck.run(values, feats, stats)
+    else:
+        out = exact_extract(values, feats, stats, weights=weights)
+    # rename stat columns to descriptor result names
+    for d in descs:
+        if d.stat in out.columns and d.name != d.stat:
+            out = out.withColumnRenamed(d.stat, d.name)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {"rows": n, "wall_sec": round(time.time() - t0, 2),
+             "stats": [d.name for d in descs]}
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

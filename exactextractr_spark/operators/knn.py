@@ -1,0 +1,126 @@
+"""kNN search via cell-index ring expansion (north-rule operator).
+
+No reference analog (the reference's STRtree answers intersection queries
+only); semantics per BASELINE.json: "kNN tile lookup uses the same index
+with ring-expansion search". Implementation: iterative candidate join —
+each round widens the Chebyshev ring radius for still-unsatisfied queries,
+joins on the packed cell id (equi-join, broadcastable), and finishes with an
+exact-distance top-k window. The loop runs on the driver but every round is
+a distributed join; round count is O(log) for any reasonable density.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..core.cellindex import CellIndex
+
+
+def _disk_cells_udf(index: CellIndex, res: int):
+    schema = T.ArrayType(T.LongType())
+
+    @F.pandas_udf(schema)
+    def cells_for(x: pd.Series, y: pd.Series, r_in: pd.Series, r_out: pd.Series) -> pd.Series:
+        out = []
+        for xi, yi, ri, ro in zip(x, y, r_in, r_out):
+            cid = int(index.cell_of(np.float64(xi), np.float64(yi), res))
+            acc = []
+            for k in range(int(ri), int(ro) + 1):
+                acc.extend(int(c) for c in index.ring(cid, k))
+            out.append(acc)
+        return pd.Series(out)
+
+    return cells_for
+
+
+def knn_points(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    *,
+    index: CellIndex,
+    res: int = 6,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """For each query (qid, qx, qy) find the k nearest points
+    (pid, px, py). Returns (qid, pid, dist, rank).
+
+    Each round r expands the ring shells [prev+1 .. 2^r] for queries that
+    haven't yet accumulated k candidates whose worst candidate distance is
+    safely inside the searched radius.
+    """
+    spark = queries.sparkSession
+    cells = _disk_cells_udf(index, res)
+    n = index.n(res)
+    cell_w = (index.xmax - index.xmin) / n
+    cell_h = (index.ymax - index.ymin) / n
+
+    # packed quad id via pure Catalyst arithmetic (see CellIndex.pack):
+    # id = (res << 58) | (ix << 29) | iy
+    ix = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((F.col("px") - F.lit(index.xmin)) / F.lit(cell_w))),
+    ).cast("long")
+    iy = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((F.col("py") - F.lit(index.ymin)) / F.lit(cell_h))),
+    ).cast("long")
+    pts = points.withColumn(
+        "cell",
+        F.shiftleft(F.lit(res).cast("long"), 58)
+        .bitwiseOR(F.shiftleft(ix, 29))
+        .bitwiseOR(iy),
+    )
+
+    remaining = queries
+    gathered: DataFrame | None = None
+    prev_r = -1
+    for round_i in range(max_rounds):
+        radius = min(2**round_i, n)
+        cand_cells = remaining.withColumn(
+            "cell",
+            F.explode(
+                cells(
+                    F.col("qx"), F.col("qy"), F.lit(prev_r + 1), F.lit(radius)
+                )
+            ),
+        )
+        hits = (
+            cand_cells.join(pts, on="cell", how="inner")
+            .withColumn(
+                "dist",
+                F.sqrt(
+                    (F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2
+                ),
+            )
+            .select("qid", "qx", "qy", "pid", "dist")
+        )
+        gathered = hits if gathered is None else gathered.unionByName(hits)
+        # a query is done when its k-th best distance fits inside the ring
+        # radius already searched (guarantees no closer point outside)
+        safe = min(radius * min(cell_w, cell_h), 1e300)
+        w = Window.partitionBy("qid").orderBy("dist")
+        ranked = gathered.withColumn("rank", F.row_number().over(w))
+        kth = ranked.filter(F.col("rank") == k).select(
+            "qid", F.col("dist").alias("_kth")
+        )
+        done_ids = kth.filter(F.col("_kth") <= F.lit(safe)).select("qid")
+        remaining = remaining.join(done_ids, on="qid", how="left_anti")
+        prev_r = radius
+        if radius >= n or remaining.isEmpty():
+            break
+
+    w = Window.partitionBy("qid").orderBy("dist", "pid")
+    return (
+        gathered.dropDuplicates(["qid", "pid"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "dist", "rank")
+    )

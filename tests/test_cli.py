@@ -1,0 +1,52 @@
+"""CLI entry point + stat-descriptor DSL (reference exactextract.cpp/utils.cpp)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from exactextractr_spark.plans.descriptors import parse_stat_descriptor
+
+
+def test_descriptor_parsing():
+    d = parse_stat_descriptor("mean(temp)")
+    assert (d.name, d.stat, d.values, d.weights) == ("temp_mean", "mean", "temp", None)
+    d = parse_stat_descriptor("pop_sum=weighted_sum(temp,pop)")
+    assert (d.name, d.stat, d.values, d.weights) == (
+        "pop_sum", "weighted_sum", "temp", "pop",
+    )
+    d = parse_stat_descriptor("weighted_mean(x,w)")
+    assert d.name == "x_weighted_mean_w"
+    with pytest.raises(ValueError):
+        parse_stat_descriptor("nope")
+    with pytest.raises(ValueError):
+        parse_stat_descriptor("bogus_stat(x)")
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from exactextractr_spark.cli import main
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+    tiles_path = str(tmp_path / "tiles")
+    tile_table_from_array(spark, arr, meta).write.parquet(tiles_path)
+    feats_path = str(tmp_path / "feats")
+    features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"]
+    ).select("feature_id", "geom").write.parquet(feats_path)
+    out_path = str(tmp_path / "out")
+    main(
+        [
+            "--polys", feats_path,
+            "--tiles", tiles_path,
+            "--stat", "m=mean(v)",
+            "--stat", "count(v)",
+            "-o", out_path,
+        ]
+    )
+    row = spark.read.parquet(out_path).collect()[0]
+    assert row["m"] == pytest.approx(5.0)
+    assert row["v_count"] == pytest.approx(4.0)

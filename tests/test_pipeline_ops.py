@@ -1,0 +1,232 @@
+"""Training-data-pipeline operators: kNN, similarity, dedup, text stats,
+multimodal plumbing, checkpoint/resume, streaming ingest."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from exactextractr_spark.core.cellindex import CellIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different text about spark and rasters here"),
+        (5, "der schnelle braune fuchs und die faulen hunde sind da"),
+        (6, "le renard brun rapide est dans la foret pour un moment"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    from exactextractr_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_minhash_dedup(spark, docs):
+    from exactextractr_spark.operators.dedup import minhash_dedup, minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_k=2)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical docs always pair
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    )
+    assert 1 in kept and 2 not in kept
+    assert 4 in kept and 5 in kept and 6 in kept
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    from exactextractr_spark.operators.dedup import simhash64
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[1] == h[2]  # identical text -> identical simhash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[3]) < ham(h[1], h[4])
+
+
+def test_ngram_jaccard(spark, docs):
+    from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_text_stats(spark, docs):
+    from exactextractr_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    df = token_counts(quality_scores(language_id(fingerprint(docs))))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["ws_tokens"] == 9
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[5]["lang_pred"] == "de"
+    assert rows[6]["lang_pred"] == "fr"
+    assert rows[1]["fp64"] == rows[2]["fp64"]
+    assert rows[1]["punct_ratio"] == 0.0
+
+
+def test_knn_matches_bruteforce(spark):
+    from exactextractr_spark.operators.knn import knn_points
+
+    rng = np.random.default_rng(42)
+    pts = [(int(i), float(x), float(y))
+           for i, (x, y) in enumerate(rng.uniform(0, 64, (300, 2)))]
+    points = spark.createDataFrame(pts, ["pid", "px", "py"])
+    qs = [(int(i), float(x), float(y))
+          for i, (x, y) in enumerate(rng.uniform(0, 64, (7, 2)))]
+    queries = spark.createDataFrame(qs, ["qid", "qx", "qy"])
+    idx = CellIndex(0, 0, 64, 64)
+    got = knn_points(queries, points, 5, index=idx, res=4).collect()
+    # brute force oracle
+    P = np.array([(p[1], p[2]) for p in pts])
+    for qid, qx, qy in qs:
+        d = np.hypot(P[:, 0] - qx, P[:, 1] - qy)
+        order = np.lexsort((np.arange(len(d)), d))[:5]
+        want = [int(i) for i in order]
+        mine = [r["pid"] for r in sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rank"])]
+        assert mine == want, (qid, mine, want)
+
+
+def test_cosine_topk_vs_numpy(spark):
+    from exactextractr_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    queries = items.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = cosine_topk(items, queries, 3).collect()
+    V = vecs.astype(np.float64)
+    sims = (V @ V.T) / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
+    for q in range(2):
+        want = list(np.argsort(-sims[q], kind="stable")[:3])
+        mine = [r["item_id"] for r in sorted(
+            (r for r in got if r["qid"] == q), key=lambda r: r["rank"])]
+        assert mine == [int(w) for w in want]
+
+
+def test_lsh_cosine_recall(spark):
+    from exactextractr_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(items, queries, 5).collect()
+    approx = lsh_cosine_topk(items, queries, 5, dim=16, bits=16, bands=8).collect()
+    # rank-1 (self) must always be found; overall recall should be decent
+    exact_set = {(r["qid"], r["item_id"]) for r in exact}
+    approx_set = {(r["qid"], r["item_id"]) for r in approx}
+    assert all((q, q) in approx_set for q in range(3))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+
+
+def test_image_features(spark):
+    from exactextractr_spark.operators.multimodal import image_features
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    arr = np.arange(256, dtype=np.float64).reshape(16, 16)
+    meta = RasterMeta("img", xmin=0, ymax=16, dx=1, dy=1, width=16, height=16,
+                      tile_w=16, tile_h=16)
+    tiles = tile_table_from_array(spark, arr, meta)
+    feats = image_features(tiles).collect()
+    assert len(feats) == 1
+    f = feats[0]
+    assert f["mean_px"] == pytest.approx(arr.mean())
+    assert f["std_px"] == pytest.approx(arr.std())
+    assert len(f["thumb8"]) == 64
+
+
+def test_image_features_unknown_format(spark):
+    rows = [("x", bytearray(b"notanimage"), 4, 4, "jpeg")]
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    from exactextractr_spark.operators.multimodal import image_features
+
+    with pytest.raises(Exception, match="decoder for 'jpeg'"):
+        image_features(df).collect()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from exactextractr_spark.checkpoint import ZonalCheckpointer
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import Raster, RasterMeta
+
+    arr = np.arange(1, 101, dtype=np.float64).reshape(10, 10)
+    meta = RasterMeta("v", xmin=0, ymax=10, dx=1, dy=1, width=10, height=10,
+                      tile_w=4, tile_h=4)
+    r = Raster.from_array(spark, arr, meta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 8.5 0.5, 8.5 8.5, 0.5 8.5, 0.5 0.5))"]
+    )
+    ck = ZonalCheckpointer(str(tmp_path / "ck"), n_buckets=4)
+    out1 = {r_["feature_id"]: r_.asDict() for r_ in
+            ck.run(r, feats, ["count", "sum", "mean", "min", "max"]).collect()}
+    man = ck.load_manifest()
+    assert len(man["buckets"]) == 4
+    assert all("snapshot" in v for v in man["buckets"].values())
+    # resume: nothing recomputed (manifest unchanged), same answer
+    out2 = {r_["feature_id"]: r_.asDict() for r_ in
+            ck.run(r, feats, ["count", "sum", "mean", "min", "max"]).collect()}
+    assert out1 == out2
+    assert ck.load_manifest() == man
+    # simulate a crash after 2 buckets: drop 2 from the manifest and rerun
+    man["buckets"] = {k: v for k, v in list(man["buckets"].items())[:2]}
+    import json
+
+    with open(ck._manifest_path, "w") as f:
+        json.dump(man, f)
+    out3 = {r_["feature_id"]: r_.asDict() for r_ in
+            ck.run(r, feats, ["count", "sum", "mean", "min", "max"]).collect()}
+    assert out3 == out1
+    assert out1[1]["count"] == pytest.approx(64.0)
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from exactextractr_spark.sources.tiles import (
+        RasterMeta,
+        tile_table_from_array,
+    )
+    from exactextractr_spark.streaming.ingest import stream_decode_tiles
+
+    arr = np.arange(1, 37, dtype=np.float64).reshape(6, 6)
+    meta = RasterMeta("s", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                      tile_w=3, tile_h=3)
+    src = str(tmp_path / "src")
+    tile_table_from_array(spark, arr, meta).write.parquet(src)
+    q = stream_decode_tiles(
+        spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == 4
+    total = out.select(F.explode("px").alias("p")).agg(F.sum("p")).collect()[0][0]
+    assert total == pytest.approx(arr.sum())

@@ -87,10 +87,14 @@ class ZonalCheckpointer:
             if b in done:
                 continue
             t0 = time.time()
-            facts = coverage_facts(
-                cand.filter(F.col("_bucket") == b), values_meta=values.meta
-            ).select("feature_id", "v", "w", "cov")
-            partial = facts.groupBy("feature_id").agg(*plan.algebraic_aggs())
+            moments = coverage_facts(
+                cand.filter(F.col("_bucket") == b),
+                values_meta=values.meta,
+                emit="moments",
+            )
+            partial = moments.groupBy("feature_id").agg(
+                *plan.algebraic_aggs_from_moments()
+            )
             path = os.path.join(self.dir, f"bucket={b}")
             partial.write.mode("overwrite").parquet(path)
             n = spark.read.parquet(path).count()

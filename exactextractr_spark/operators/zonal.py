@@ -55,6 +55,35 @@ FACTS_SCHEMA = T.StructType(
     ]
 )
 
+#: per-(feature, tile) partial value-frequency rows — kernel-side combine of
+#: the groupBy(fid, v) shuffle (shuffle bytes scale with distinct values per
+#: tile, not with covered cells)
+FREQ_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), False),
+        T.StructField("sum_c", T.DoubleType(), False),
+        T.StructField("sum_cw", T.DoubleType(), True),
+    ]
+)
+
+#: per-(feature, tile) algebraic moments — the reference's StatsRegistry
+#: accumulator (raster_stats.h:31-140) emitted as ONE row per candidate
+#: pair, so the shuffle is independent of cell count entirely
+MOMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.LongType(), False),
+        T.StructField("_p_sum_c", T.DoubleType(), True),
+        T.StructField("_p_sum_xc", T.DoubleType(), True),
+        T.StructField("_p_sum_xxc", T.DoubleType(), True),
+        T.StructField("_p_sum_cw", T.DoubleType(), True),
+        T.StructField("_p_sum_xcw", T.DoubleType(), True),
+        T.StructField("_p_sum_xxcw", T.DoubleType(), True),
+        T.StructField("_p_min", T.DoubleType(), True),
+        T.StructField("_p_max", T.DoubleType(), True),
+    ]
+)
+
 
 def cell_areas(grid: Grid, rows: np.ndarray, spherical: bool) -> np.ndarray:
     """Cell area per row index — cartesian constant or per-latitude-band
@@ -209,12 +238,22 @@ def coverage_facts(
     keep_nodata: bool = False,
     default_value: float | None = None,
     default_weight: float | None = None,
+    emit: str = "pixels",
 ) -> DataFrame:
-    """Run the exact coverage kernel per (feature, tile) row; emit the
-    sparse fact table (feature_id, v, w, cov[, cell, cx, cy, area]).
+    """Run the exact coverage kernel per (feature, tile) row.
 
-    This is the Spark materialization of the reference's coverage-fraction
-    raster (raster_cell_intersection.cpp:26-142) in long/sparse form.
+    ``emit`` selects the kernel-side reduction (the reference's per-chunk
+    StatsRegistry accumulation, stats_registry.h:25-84, done before the
+    shuffle instead of after it):
+
+    - ``"pixels"``: sparse facts (feature_id, v, w, cov[, cell, cx, cy,
+      area]) — the coverage-fraction raster in long form, for the pixel/UDF
+      path.
+    - ``"freq"``: per-(feature, tile, value) partial sums (v, Σc, Σcw) —
+      combine for the groupBy(fid, v) frequency-stat shuffle.
+    - ``"moments"``: ONE row per (feature, tile) of algebraic moments —
+      shuffle volume independent of cell count; the 100-TB path for all
+      algebraic stats.
     """
     raster_xmin = values_meta.xmin
     raster_ymax = values_meta.ymax
@@ -275,7 +314,8 @@ def coverage_facts(
                 else:
                     area = None
                 if coverage_area and area is not None:
-                    rec["cov"] = covv * area
+                    covv = covv * area
+                    rec["cov"] = covv
                 if has_w or area_weights:
                     if area_weights and area is not None:
                         w = area.copy()
@@ -300,7 +340,41 @@ def coverage_facts(
                             w = np.where(np.isnan(w), default_weight, w)
                     rec["w"] = w
                 else:
-                    rec["w"] = np.full(n, np.nan)
+                    w = np.full(n, np.nan)
+                    rec["w"] = w
+                if emit == "moments":
+                    cw = covv * w
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "feature_id": [np.int64(row.feature_id)],
+                                "_p_sum_c": [covv.sum()],
+                                "_p_sum_xc": [(v * covv).sum()],
+                                "_p_sum_xxc": [(v * v * covv).sum()],
+                                "_p_sum_cw": [cw.sum()],
+                                "_p_sum_xcw": [(v * cw).sum()],
+                                "_p_sum_xxcw": [(v * v * cw).sum()],
+                                "_p_min": [v.min()],
+                                "_p_max": [v.max()],
+                            }
+                        )
+                    )
+                    continue
+                if emit == "freq":
+                    uv, inv = np.unique(v, return_inverse=True)
+                    sum_c = np.bincount(inv, weights=covv)
+                    sum_cw = np.bincount(inv, weights=covv * w)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "feature_id": np.full(len(uv), row.feature_id, np.int64),
+                                "v": uv,
+                                "sum_c": sum_c,
+                                "sum_cw": sum_cw,
+                            }
+                        )
+                    )
+                    continue
                 if need_cell:
                     # 1-based global cell index of the value raster, row-major
                     grow = np.round((raster_ymax - cy - 0.5 * tile_grid.dy) / tile_grid.dy)
@@ -314,11 +388,16 @@ def coverage_facts(
                 outs.append(pd.DataFrame(rec))
             if outs:
                 df = pd.concat(outs, ignore_index=True)
-                yield df[
-                    ["feature_id", "v", "w", "cov", "cell", "cx", "cy", "area"]
-                ]
+                yield df[_out_cols]
 
-    return cand.mapInPandas(_kernel, FACTS_SCHEMA)
+    if emit == "moments":
+        schema = MOMENTS_SCHEMA
+    elif emit == "freq":
+        schema = FREQ_SCHEMA
+    else:
+        schema = FACTS_SCHEMA
+    _out_cols = [f.name for f in schema.fields]
+    return cand.mapInPandas(_kernel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -359,8 +438,7 @@ def exact_extract(
     if wraster is not None:
         cand = _attach_weights(cand, values, wraster)
 
-    facts = coverage_facts(
-        cand,
+    kernel_kwargs = dict(
         values_meta=values.meta,
         weighted=wraster is not None or area_weights,
         area_weights=area_weights,
@@ -368,29 +446,40 @@ def exact_extract(
         coverage_area=coverage_area,
         default_value=default_value,
         default_weight=default_weight,
-    ).select("feature_id", "v", "w", "cov")
+    )
 
     result: DataFrame | None = None
+    fin = plan.finalize_columns()
 
-    if plan.algebraic:
-        aggs = plan.algebraic_aggs()
-        agg_df = facts.groupBy("feature_id").agg(*aggs)
-        fin = plan.finalize_columns()
-        result = agg_df.select(
-            "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
-        )
-
-    freq_df = None
     if plan.freq:
-        freq_df = (
-            facts.groupBy("feature_id", "v")
-            .agg(F.sum("cov").alias("sum_c"), F.sum(F.col("cov") * F.col("w")).alias("sum_cw"))
+        # one kernel pass; everything (algebraic included) derives exactly
+        # from the merged value-frequency table
+        partials = coverage_facts(cand, emit="freq", **kernel_kwargs)
+        freq_df = partials.groupBy("feature_id", "v").agg(
+            F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw")
         )
+        if plan.algebraic:
+            agg_df = freq_df.groupBy("feature_id").agg(
+                *plan.algebraic_aggs_from_freq()
+            )
+            result = agg_df.select(
+                "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
+            )
         freq_result = _freq_stats(plan, freq_df)
         result = (
             freq_result
             if result is None
             else result.join(freq_result, on="feature_id", how="full")
+        )
+    elif plan.algebraic:
+        # moments path: kernel emits ONE row per (feature, tile); the final
+        # shuffle is independent of cell count (StatsRegistry merge)
+        moments = coverage_facts(cand, emit="moments", **kernel_kwargs)
+        agg_df = moments.groupBy("feature_id").agg(
+            *plan.algebraic_aggs_from_moments()
+        )
+        result = agg_df.select(
+            "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
         )
 
     # features with no facts: reference returns a row with 0/NA stats

@@ -164,6 +164,64 @@ class StatsPlan:
                 out[s] = wvar if s == "weighted_variance" else F.sqrt(wvar)
         return out
 
+    def algebraic_aggs_from_moments(self) -> list[Column]:
+        """Merge per-(feature, tile) partial moments (MOMENTS_SCHEMA) —
+        the StatsRegistry merge (stats_registry.h:27-40) as plain sums."""
+        aggs: list[Column] = []
+        need = set(self.algebraic)
+        pairs = [
+            ("_sum_c", "_p_sum_c", {"count", "mean", "variance", "stdev",
+                                    "coefficient_of_variation"}),
+            ("_sum_xc", "_p_sum_xc", {"sum", "mean", "weighted_fraction",
+                                      "variance", "stdev", "coefficient_of_variation"}),
+            ("_sum_xxc", "_p_sum_xxc", {"variance", "stdev",
+                                        "coefficient_of_variation"}),
+            ("_sum_cw", "_p_sum_cw", {"weighted_count", "weighted_mean",
+                                      "weighted_variance", "weighted_stdev"}),
+            ("_sum_xcw", "_p_sum_xcw", {"weighted_sum", "weighted_mean",
+                                        "weighted_fraction", "weighted_variance",
+                                        "weighted_stdev"}),
+            ("_sum_xxcw", "_p_sum_xxcw", {"weighted_variance", "weighted_stdev"}),
+        ]
+        for out, src, users in pairs:
+            if need & users:
+                aggs.append(F.sum(src).alias(out))
+        if "min" in need:
+            aggs.append(F.min("_p_min").alias("min"))
+        if "max" in need:
+            aggs.append(F.max("_p_max").alias("max"))
+        return aggs
+
+    def algebraic_aggs_from_freq(self) -> list[Column]:
+        """Derive the same raw moments from the merged value-frequency table
+        (feature_id, v, sum_c, sum_cw) — exact because the frequency map
+        partitions the facts by value."""
+        v = F.col("v")
+        c = F.col("sum_c")
+        cw = F.col("sum_cw")
+        aggs: dict[str, Column] = {}
+        need = set(self.algebraic)
+        if need & {"count", "mean", "variance", "stdev", "coefficient_of_variation"}:
+            aggs["_sum_c"] = F.sum(c)
+        if need & {"sum", "mean", "weighted_fraction", "variance", "stdev",
+                   "coefficient_of_variation"}:
+            aggs["_sum_xc"] = F.sum(v * c)
+        if need & {"variance", "stdev", "coefficient_of_variation"}:
+            aggs["_sum_xxc"] = F.sum(v * v * c)
+        if need & {"weighted_count", "weighted_mean", "weighted_variance",
+                   "weighted_stdev"}:
+            aggs["_sum_cw"] = F.sum(cw)
+        if need & {"weighted_sum", "weighted_mean", "weighted_fraction",
+                   "weighted_variance", "weighted_stdev"}:
+            aggs["_sum_xcw"] = F.sum(v * cw)
+        if need & {"weighted_variance", "weighted_stdev"}:
+            aggs["_sum_xxcw"] = F.sum(v * v * cw)
+        if "min" in need:
+            aggs["min"] = F.min(v)
+        if "max" in need:
+            aggs["max"] = F.max(v)
+        return [expr.alias(name) for name, expr in aggs.items()]
+
     def result_names(self) -> list[str]:
         """Output column order = requested stat order, with 'quantile'
         expanded to q{NN} columns (reference column-naming rules,

@@ -23,7 +23,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # tile rows carry ~0.5 MB pixel arrays; cap Arrow batches so a batch
+        # stays ~32 MB (64 * 512 KB) instead of the 2048-row default ~1 GB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -31,7 +33,7 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -204,9 +204,9 @@ def _q_coverage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_candidate_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exactextractr_spark.operators.zonal import candidate_pairs
+    from exactextractr_spark.operators.zonal import candidate_pairs_flat
 
-    cand = candidate_pairs(_synth_raster(spark), _synth_features(spark, sf_dir))
+    cand = candidate_pairs_flat(_synth_raster(spark), _synth_features(spark, sf_dir))
     return cand.groupBy("feature_id").agg(
         F.count("*").cast("long").alias("n_tiles")
     )

@@ -39,17 +39,16 @@ def encode_gray(raw: np.ndarray, bit_depth: int = 8) -> bytes:
         body = raw.astype(">u2")
     else:
         raise ValueError("bit_depth must be 8 or 16")
-    rows = body.tobytes()
     bpr = w * (bit_depth // 8)
-    scan = bytearray()
-    for r in range(h):
-        scan.append(0)  # filter type 0 (None)
-        scan += rows[r * bpr : (r + 1) * bpr]
+    # prepend the filter-0 byte per row vectorized
+    scan = np.empty((h, bpr + 1), dtype=np.uint8)
+    scan[:, 0] = 0
+    scan[:, 1:] = body.view(np.uint8).reshape(h, bpr)
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + _chunk(b"IDAT", zlib.compress(scan.tobytes(), 1))
         + _chunk(b"IEND", b"")
     )
 
@@ -77,6 +76,18 @@ def decode_gray(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     bpp = bit_depth // 8
     bpr = w * bpp
+    # fast path: all rows filter 0 (how encode_gray writes) — pure reshape
+    flat = np.frombuffer(raw, dtype=np.uint8)
+    if len(flat) == h * (bpr + 1):
+        mat = flat.reshape(h, bpr + 1)
+        if h == 0 or not mat[:, 0].any():
+            out = np.ascontiguousarray(mat[:, 1:])
+            if bit_depth == 16:
+                return (
+                    out.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256
+                    + out.reshape(h, w, 2)[:, :, 1]
+                )
+            return out
     out = np.empty((h, bpr), dtype=np.uint8)
     prev = np.zeros(bpr, dtype=np.uint8)
     for r in range(h):

@@ -105,13 +105,10 @@ def cell_areas(grid: Grid, rows: np.ndarray, spherical: bool) -> np.ndarray:
 # candidate join
 # ---------------------------------------------------------------------------
 
-def candidate_pairs(
-    values: Raster, feats: DataFrame, broadcast_features: bool = True
-) -> DataFrame:
+def feature_tile_cover(values: Raster, feats: DataFrame) -> DataFrame:
     """Explode each feature's bbox into covering tile keys (pure Catalyst
-    arithmetic — the 'H3 cover' of the north rule at tile granularity) and
-    equi-join with decoded tiles. Over-inclusion is refined by the exact
-    bbox test and then by the kernel itself."""
+    sequence arithmetic — the 'H3 cover' of the north rule at tile
+    granularity). Returns (tile_row, tile_col, feature_id, geom, f-bbox)."""
     m = values.meta
     step_x = m.dx * m.tile_w
     step_y = m.dy * m.tile_h
@@ -150,24 +147,61 @@ def candidate_pairs(
             F.floor((F.col("fxmax") - F.lit(m.xmin)) / F.lit(step_x)),
         ),
     ).cast("int")
-    cover = f.withColumn("tile_row", F.explode(F.sequence(tr0, tr1))).withColumn(
+    return f.withColumn("tile_row", F.explode(F.sequence(tr0, tr1))).withColumn(
         "tile_col", F.explode(F.sequence(tc0, tc1))
     )
+
+
+def candidate_pairs(
+    values: Raster, feats: DataFrame, broadcast_features: bool = True
+) -> DataFrame:
+    """Grouped candidate join: each tile row carries the LIST of features
+    overlapping it, so a tile's (heavy) pixel payload crosses the JVM→Python
+    boundary exactly once no matter how many features touch it — the fanout
+    of a continent-sized polygon duplicates only its (small) WKB into the
+    per-tile lists, never the rasters. At 10^12-tile scale the per-tile
+    work list is also the unit of checkpointing and skew is bounded by
+    features-per-tile, not cells-per-feature."""
+    cover = feature_tile_cover(values, feats).select(
+        "tile_row",
+        "tile_col",
+        F.struct("feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax").alias(
+            "_feat"
+        ),
+    )
+    per_tile = cover.groupBy("tile_row", "tile_col").agg(
+        F.collect_list("_feat").alias("feats")
+    )
     if broadcast_features:
-        cover = F.broadcast(cover)
-    joined = values.tiles.join(cover, on=["tile_row", "tile_col"], how="inner")
-    # exact bbox refine (cheap; candidate cells already near-exact)
-    return joined.filter(
-        (F.col("fxmin") < F.col("xmax"))
-        & (F.col("fxmax") > F.col("xmin"))
-        & (F.col("fymin") < F.col("ymax"))
-        & (F.col("fymax") > F.col("ymin"))
+        per_tile = F.broadcast(per_tile)
+    tile_side = values.raw_meta
+    if tile_side is None:
+        tile_side = values.tiles
+    return tile_side.join(per_tile, on=["tile_row", "tile_col"], how="inner")
+
+
+def candidate_pairs_flat(values: Raster, feats: DataFrame) -> DataFrame:
+    """Metadata-only (feature × tile) candidate pairs with the exact bbox
+    refine — no pixel payloads; for diagnostics / pair accounting."""
+    m = values.meta
+    cover = feature_tile_cover(values, feats)
+    tile_xmin = F.lit(m.xmin) + F.col("tile_col") * F.lit(m.dx * m.tile_w)
+    tile_ymax = F.lit(m.ymax) - F.col("tile_row") * F.lit(m.dy * m.tile_h)
+    tile_xmax = F.least(F.lit(m.xmax), tile_xmin + F.lit(m.dx * m.tile_w))
+    tile_ymin = F.greatest(F.lit(m.ymin), tile_ymax - F.lit(m.dy * m.tile_h))
+    return cover.filter(
+        (F.col("fxmin") < tile_xmax)
+        & (F.col("fxmax") > tile_xmin)
+        & (F.col("fymin") < tile_ymax)
+        & (F.col("fymax") > tile_ymin)
     )
 
 
 def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFrame:
     """Join the weight tiles overlapping each candidate value tile
-    (collect_list of structs; exactly 1 element when schemes align)."""
+    (collect_list of structs; exactly 1 element when schemes align).
+    Grouping happens on a slim key projection so the heavy tile payload
+    never enters the shuffle."""
     wm = weights.meta
     w = weights.tiles.select(
         F.col("tile_row").alias("w_tr"),
@@ -212,12 +246,17 @@ def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFra
             F.floor((F.col("xmax") - F.lit(wm.xmin)) / F.lit(step_x) - F.lit(1e-9)),
         ),
     ).cast("int")
-    expanded = cand.withColumn("w_tr", F.explode(F.sequence(wr0, wr1))).withColumn(
+    slim = cand.select("tile_row", "tile_col", "xmin", "ymin", "xmax", "ymax").dropDuplicates(
+        ["tile_row", "tile_col"]
+    )
+    expanded = slim.withColumn("w_tr", F.explode(F.sequence(wr0, wr1))).withColumn(
         "w_tc", F.explode(F.sequence(wc0, wc1))
     )
     joined = expanded.join(F.broadcast(w), on=["w_tr", "w_tc"], how="left")
-    keys = [c for c in cand.columns]
-    return joined.groupBy(*keys).agg(F.collect_list("wtile").alias("wtiles"))
+    wlists = joined.groupBy("tile_row", "tile_col").agg(
+        F.collect_list("wtile").alias("wtiles")
+    )
+    return cand.join(wlists, on=["tile_row", "tile_col"], how="left")
 
 
 # ---------------------------------------------------------------------------
@@ -263,129 +302,155 @@ def coverage_facts(
     need_area = include_area or coverage_area or area_weights or spherical
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        from ..core.png import decode_tile as _decode
+
         geom_cache: dict[bytes, object] = {}
         for pdf in batches:
             outs = []
             has_w = "wtiles" in pdf.columns
+            raw_mode = "px" not in pdf.columns
             for row in pdf.itertuples(index=False):
-                gwkb = bytes(row.geom)
-                geom = geom_cache.get(gwkb)
-                if geom is None:
-                    geom = G.from_wkb(gwkb)
-                    if len(geom_cache) > 4096:
-                        geom_cache.clear()
-                    geom_cache[gwkb] = geom
+                # decode this tile's pixels ONCE for all its features
+                if raw_mode:
+                    px = _decode(bytes(row.bytes), int(row.ncols), int(row.nrows))
+                    nodata = row.nodata
+                    if nodata is not None and not (
+                        isinstance(nodata, float) and _math.isnan(nodata)
+                    ):
+                        px = np.where(px == nodata, np.nan, px)
+                else:
+                    px = np.asarray(row.px, dtype=np.float64).reshape(
+                        int(row.nrows), int(row.ncols)
+                    )
                 tile_grid = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
-                sub = tile_grid.crop(Box(row.fxmin, row.fymin, row.fxmax, row.fymax))
-                if sub.size == 0:
-                    continue
-                cov = coverage_fraction(sub, geom)
-                rr, cc = np.nonzero(cov > 0)
-                if len(rr) == 0:
-                    continue
-                covv = cov[rr, cc]
-                # offsets of the cropped grid within the tile
-                r_off, c_off = tile_grid.row_col_offset(sub)
-                tr = rr + r_off
-                tc = cc + c_off
-                px = np.asarray(row.px, dtype=np.float64).reshape(
-                    int(row.nrows), int(row.ncols)
-                )
-                v = px[tr, tc]
-                if default_value is not None:
-                    v = np.where(np.isnan(v), default_value, v)
-                if not keep_nodata:
-                    ok = ~np.isnan(v)
-                    if not ok.all():
-                        tr, tc, v, covv = tr[ok], tc[ok], v[ok], covv[ok]
-                    if len(v) == 0:
+                for ft in row.feats:
+                    # exact bbox refine (cover cells are floor-rounded)
+                    if (
+                        ft["fxmin"] >= row.xmax
+                        or ft["fxmax"] <= row.xmin
+                        or ft["fymin"] >= row.ymax
+                        or ft["fymax"] <= row.ymin
+                    ):
                         continue
-                n = len(v)
-                # cell centers in world coords
-                cx = tile_grid.xmin + (tc + 0.5) * tile_grid.dx
-                cy = tile_grid.ymax - (tr + 0.5) * tile_grid.dy
-                rec: dict[str, np.ndarray] = {
-                    "feature_id": np.full(n, row.feature_id, dtype=np.int64),
-                    "v": v,
-                    "cov": covv,
-                }
-                if need_area:
-                    area = cell_areas(tile_grid, tr, spherical)
-                else:
-                    area = None
-                if coverage_area and area is not None:
-                    covv = covv * area
-                    rec["cov"] = covv
-                if has_w or area_weights:
-                    if area_weights and area is not None:
-                        w = area.copy()
-                    elif has_w:
+                    gwkb = bytes(ft["geom"])
+                    geom = geom_cache.get(gwkb)
+                    if geom is None:
+                        geom = G.from_wkb(gwkb)
+                        if len(geom_cache) > 4096:
+                            geom_cache.clear()
+                        geom_cache[gwkb] = geom
+                    sub = tile_grid.crop(
+                        Box(ft["fxmin"], ft["fymin"], ft["fxmax"], ft["fymax"])
+                    )
+                    if sub.size == 0:
+                        continue
+                    cov = coverage_fraction(sub, geom)
+                    rr, cc = np.nonzero(cov > 0)
+                    if len(rr) == 0:
+                        continue
+                    covv = cov[rr, cc]
+                    # offsets of the cropped grid within the tile
+                    r_off, c_off = tile_grid.row_col_offset(sub)
+                    tr = rr + r_off
+                    tc = cc + c_off
+                    feature_id = ft["feature_id"]
+                    v = px[tr, tc]
+                    if default_value is not None:
+                        v = np.where(np.isnan(v), default_value, v)
+                    if not keep_nodata:
+                        ok = ~np.isnan(v)
+                        if not ok.all():
+                            tr, tc, v, covv = tr[ok], tc[ok], v[ok], covv[ok]
+                        if len(v) == 0:
+                            continue
+                    n = len(v)
+                    # cell centers in world coords
+                    cx = tile_grid.xmin + (tc + 0.5) * tile_grid.dx
+                    cy = tile_grid.ymax - (tr + 0.5) * tile_grid.dy
+                    rec: dict[str, np.ndarray] = {
+                        "feature_id": np.full(n, feature_id, dtype=np.int64),
+                        "v": v,
+                        "cov": covv,
+                    }
+                    if need_area:
+                        area = cell_areas(tile_grid, tr, spherical)
+                    else:
+                        area = None
+                    if coverage_area and area is not None:
+                        covv = covv * area
+                        rec["cov"] = covv
+                    if has_w or area_weights:
+                        if area_weights and area is not None:
+                            w = area.copy()
+                        elif has_w:
+                            w = np.full(n, np.nan)
+                            wtiles = row.wtiles if row.wtiles is not None else []
+                            for wt in wtiles:
+                                wpx = np.asarray(wt["px"], dtype=np.float64).reshape(
+                                    int(wt["nrows"]), int(wt["ncols"])
+                                )
+                                wr = np.floor((wt["ymax"] - cy) / wt["dy"]).astype(np.int64)
+                                wc = np.floor((cx - wt["xmin"]) / wt["dx"]).astype(np.int64)
+                                sel = (
+                                    (wr >= 0)
+                                    & (wr < int(wt["nrows"]))
+                                    & (wc >= 0)
+                                    & (wc < int(wt["ncols"]))
+                                )
+                                if sel.any():
+                                    w[sel] = wpx[wr[sel], wc[sel]]
+                            if default_weight is not None:
+                                w = np.where(np.isnan(w), default_weight, w)
+                        rec["w"] = w
+                    else:
                         w = np.full(n, np.nan)
-                        wtiles = row.wtiles if row.wtiles is not None else []
-                        for wt in wtiles:
-                            wpx = np.asarray(wt["px"], dtype=np.float64).reshape(
-                                int(wt["nrows"]), int(wt["ncols"])
+                        rec["w"] = w
+                    if emit == "moments":
+                        cw = covv * w
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "feature_id": [np.int64(feature_id)],
+                                    "_p_sum_c": [covv.sum()],
+                                    "_p_sum_xc": [(v * covv).sum()],
+                                    "_p_sum_xxc": [(v * v * covv).sum()],
+                                    "_p_sum_cw": [cw.sum()],
+                                    "_p_sum_xcw": [(v * cw).sum()],
+                                    "_p_sum_xxcw": [(v * v * cw).sum()],
+                                    "_p_min": [v.min()],
+                                    "_p_max": [v.max()],
+                                }
                             )
-                            wr = np.floor((wt["ymax"] - cy) / wt["dy"]).astype(np.int64)
-                            wc = np.floor((cx - wt["xmin"]) / wt["dx"]).astype(np.int64)
-                            sel = (
-                                (wr >= 0)
-                                & (wr < int(wt["nrows"]))
-                                & (wc >= 0)
-                                & (wc < int(wt["ncols"]))
+                        )
+                        continue
+                    if emit == "freq":
+                        uv, inv = np.unique(v, return_inverse=True)
+                        sum_c = np.bincount(inv, weights=covv)
+                        sum_cw = np.bincount(inv, weights=covv * w)
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "feature_id": np.full(len(uv), feature_id, np.int64),
+                                    "v": uv,
+                                    "sum_c": sum_c,
+                                    "sum_cw": sum_cw,
+                                }
                             )
-                            if sel.any():
-                                w[sel] = wpx[wr[sel], wc[sel]]
-                        if default_weight is not None:
-                            w = np.where(np.isnan(w), default_weight, w)
-                    rec["w"] = w
-                else:
-                    w = np.full(n, np.nan)
-                    rec["w"] = w
-                if emit == "moments":
-                    cw = covv * w
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "feature_id": [np.int64(row.feature_id)],
-                                "_p_sum_c": [covv.sum()],
-                                "_p_sum_xc": [(v * covv).sum()],
-                                "_p_sum_xxc": [(v * v * covv).sum()],
-                                "_p_sum_cw": [cw.sum()],
-                                "_p_sum_xcw": [(v * cw).sum()],
-                                "_p_sum_xxcw": [(v * v * cw).sum()],
-                                "_p_min": [v.min()],
-                                "_p_max": [v.max()],
-                            }
                         )
-                    )
-                    continue
-                if emit == "freq":
-                    uv, inv = np.unique(v, return_inverse=True)
-                    sum_c = np.bincount(inv, weights=covv)
-                    sum_cw = np.bincount(inv, weights=covv * w)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "feature_id": np.full(len(uv), row.feature_id, np.int64),
-                                "v": uv,
-                                "sum_c": sum_c,
-                                "sum_cw": sum_cw,
-                            }
-                        )
-                    )
-                    continue
-                if need_cell:
-                    # 1-based global cell index of the value raster, row-major
-                    grow = np.round((raster_ymax - cy - 0.5 * tile_grid.dy) / tile_grid.dy)
-                    gcol = np.round((cx - raster_xmin - 0.5 * tile_grid.dx) / tile_grid.dx)
-                    rec["cell"] = (grow * raster_width + gcol + 1).astype(np.int64)
-                else:
-                    rec["cell"] = np.zeros(n, dtype=np.int64)
-                rec["cx"] = cx if need_xy else np.zeros(n)
-                rec["cy"] = cy if need_xy else np.zeros(n)
-                rec["area"] = area if area is not None else np.zeros(n)
-                outs.append(pd.DataFrame(rec))
+                        continue
+                    if need_cell:
+                        # 1-based global cell index of the value raster, row-major
+                        grow = np.round((raster_ymax - cy - 0.5 * tile_grid.dy) / tile_grid.dy)
+                        gcol = np.round((cx - raster_xmin - 0.5 * tile_grid.dx) / tile_grid.dx)
+                        rec["cell"] = (grow * raster_width + gcol + 1).astype(np.int64)
+                    else:
+                        rec["cell"] = np.zeros(n, dtype=np.int64)
+                    rec["cx"] = cx if need_xy else np.zeros(n)
+                    rec["cy"] = cy if need_xy else np.zeros(n)
+                    rec["area"] = area if area is not None else np.zeros(n)
+                    outs.append(pd.DataFrame(rec))
             if outs:
                 df = pd.concat(outs, ignore_index=True)
                 yield df[_out_cols]

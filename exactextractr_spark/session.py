@@ -26,6 +26,11 @@ def get_spark(
         # tile rows carry ~0.5 MB pixel arrays; cap Arrow batches so a batch
         # stays ~32 MB (64 * 512 KB) instead of the 2048-row default ~1 GB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # parquet vectorized reader defaults to 4096-row columnar batches —
+        # with ~0.5 MB binary tile payloads that is ~2 GB per batch and the
+        # JVM GC-thrashes; 64 rows keeps batches ~32 MB
+        .config("spark.sql.parquet.columnarReaderBatchSize", "64")
+        .config("spark.sql.orc.columnarReaderBatchSize", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -40,6 +40,26 @@ TILE_SCHEMA = T.StructType(
     ]
 )
 
+#: caption JSON schema for JVM-side metadata extraction (F.from_json) — the
+#: zonal path joins on tile keys without any Python decode stage
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("layer", T.StringType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+        T.StructField("dx", T.DoubleType()),
+        T.StructField("dy", T.DoubleType()),
+        T.StructField("crs", T.StringType()),
+        T.StructField("nodata", T.DoubleType()),
+        T.StructField("tile_row", T.IntegerType()),
+        T.StructField("tile_col", T.IntegerType()),
+        T.StructField("raster_width", T.IntegerType()),
+        T.StructField("raster_height", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+    ]
+)
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("layer", T.StringType(), False),
@@ -252,12 +272,50 @@ def roundtrip_report(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(_verify, schema)
 
 
+def raw_tiles_with_meta(tiles: DataFrame, layer: str | None = None) -> DataFrame:
+    """Attach grid metadata columns by parsing the caption JSON **in the
+    JVM** (from_json) — no Python stage. Pixel payload stays encoded
+    (``bytes``); the coverage kernel decodes lazily with a per-worker cache,
+    so a tile joined against many features is shipped compressed and decoded
+    at most once per worker."""
+    m = F.from_json("caption", CAPTION_SCHEMA).alias("_m")
+    df = tiles.select("bytes", "w", "h", m)
+    df = df.select(
+        "bytes",
+        "w",
+        "h",
+        F.col("_m.layer").alias("layer"),
+        F.col("_m.tile_row").alias("tile_row"),
+        F.col("_m.tile_col").alias("tile_col"),
+        F.col("_m.dx").alias("dx"),
+        F.col("_m.dy").alias("dy"),
+        F.col("_m.nodata").alias("nodata"),
+        F.col("_m.xmin").alias("xmin"),
+        F.col("_m.ymax").alias("ymax"),
+        (F.col("_m.xmin") + F.col("w") * F.col("_m.dx")).alias("xmax"),
+        (F.col("_m.ymax") - F.col("h") * F.col("_m.dy")).alias("ymin"),
+        F.col("w").alias("ncols"),
+        F.col("h").alias("nrows"),
+    )
+    if layer is not None:
+        df = df.filter(F.col("layer") == layer)
+    return df
+
+
 class Raster:
-    """A distributed raster: decoded tile DataFrame + driver-side meta."""
+    """A distributed raster: tile DataFrame (raw and/or decoded) +
+    driver-side meta. The zonal hot path uses the raw (encoded) form and
+    decodes inside the kernel; operators needing pixel columns use
+    ``.tiles`` (decoded via mapInPandas)."""
 
     def __init__(self, df: DataFrame, meta: RasterMeta, decoded: bool = False):
         self.meta = meta
-        self._decoded = decode_tiles(df, layer=meta.layer) if not decoded else df
+        if decoded:
+            self._raw = None
+            self._decoded = df
+        else:
+            self._raw = df
+            self._decoded = None
 
     @classmethod
     def from_tiles(cls, tiles: DataFrame, meta: RasterMeta) -> "Raster":
@@ -271,11 +329,22 @@ class Raster:
 
     @property
     def tiles(self) -> DataFrame:
+        """Decoded tile blocks (layer, tile key, grid, px)."""
+        if self._decoded is None:
+            self._decoded = decode_tiles(self._raw, layer=self.meta.layer)
         return self._decoded
 
+    @property
+    def raw_meta(self) -> DataFrame | None:
+        """Raw tiles with JVM-parsed grid metadata, or None if this raster
+        was constructed from already-decoded blocks."""
+        if self._raw is None:
+            return None
+        return raw_tiles_with_meta(self._raw, layer=self.meta.layer)
+
     def with_layer(self, layer: str) -> "Raster":
-        return Raster(
-            self._decoded.filter(F.col("layer") == layer),
-            replace(self.meta, layer=layer),
-            decoded=True,
-        )
+        src = self._raw if self._raw is not None else self._decoded
+        r = Raster(src, replace(self.meta, layer=layer), decoded=self._raw is None)
+        if self._raw is None:
+            r._decoded = self._decoded.filter(F.col("layer") == layer)
+        return r

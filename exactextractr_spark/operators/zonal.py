@@ -498,6 +498,22 @@ def exact_extract(
     wraster = weights if isinstance(weights, Raster) else None
     if plan.needs_weights and weights is None:
         raise ValueError(f"stats {sorted(set(stats))} require weights")
+    if wraster is not None:
+        vg, wg = values.meta.grid, wraster.meta.grid
+        # grid compatibility: integer-multiple resolution + aligned origins
+        # (ref grid.h:219-282, checked at exact_extract.cpp:316-317)
+        if not vg.compatible_with(wg):
+            raise ValueError(
+                "weights grid is not compatible with the value grid "
+                "(resolutions must be integer multiples, origins aligned)"
+            )
+        if wg.dx < vg.dx or wg.dy < vg.dy:
+            # finer weights disaggregate the VALUE raster in the reference
+            # (RasterView, raster.h:248-312); not implemented here
+            raise NotImplementedError(
+                "weight grid finer than value grid (value disaggregation) "
+                "is not supported"
+            )
 
     cand = candidate_pairs(values, features, broadcast_features)
     if wraster is not None:

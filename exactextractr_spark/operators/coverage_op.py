@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.tiles import Raster
-from .zonal import candidate_pairs, coverage_facts
+from .zonal import build_candidates, coverage_facts
 
 
 def coverage_fraction_df(
@@ -24,9 +24,10 @@ def coverage_fraction_df(
     include_xy: bool = True,
 ) -> DataFrame:
     """Sparse per-cell coverage fractions, one row per covered cell."""
-    cand = candidate_pairs(values, features, broadcast_features)
+    cand, feats_bc = build_candidates(values, features, broadcast_features)
     facts = coverage_facts(
         cand,
+        feats_bc=feats_bc,
         values_meta=values.meta,
         include_cell=True,
         include_xy=include_xy,

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..sources.tiles import DECODED_SCHEMA, Raster, RasterMeta
-from .zonal import candidate_pairs, coverage_facts
+from .zonal import build_candidates, coverage_facts
 
 
 def blank_raster(spark: SparkSession, meta: RasterMeta) -> Raster:
@@ -71,9 +71,10 @@ def rasterize_polygons(
     if min_coverage == 1.0:
         min_coverage -= 1e-6
     target = blank_raster(spark, meta)
-    cand = candidate_pairs(target, features)
+    cand, feats_bc = build_candidates(target, features)
     facts = coverage_facts(
-        cand, values_meta=meta, include_cell=True, keep_nodata=True
+        cand, feats_bc=feats_bc, values_meta=meta, include_cell=True,
+        keep_nodata=True
     ).select("feature_id", "cell", "cov")
     w = Window.partitionBy("cell").orderBy(F.desc("cov"), F.asc("feature_id"))
     ranked = (

@@ -180,6 +180,120 @@ def candidate_pairs(
     return tile_side.join(per_tile, on=["tile_row", "tile_col"], how="inner")
 
 
+class FeatureBroadcast:
+    """Driver-collected feature set for the feature-sequential strategy
+    (ref feature_sequential_processor.cpp:24-91): when the polygon table is
+    small enough to broadcast (the reference's only mode), the candidate
+    'join' degenerates to a vectorized bbox test inside the kernel and the
+    whole zonal plan is ONE stage: scan tiles → kernel → agg. No shuffle,
+    no per-tile list build, no AQE job chain — at 10^12-tile scale the tile
+    scan is the only data motion."""
+
+    __slots__ = ("ids", "fxmin", "fymin", "fxmax", "fymax", "wkbs", "_geoms")
+
+    def __getstate__(self):
+        return (self.ids, self.fxmin, self.fymin, self.fxmax, self.fymax, self.wkbs)
+
+    def __setstate__(self, st):
+        self.ids, self.fxmin, self.fymin, self.fxmax, self.fymax, self.wkbs = st
+        self._geoms = None
+
+    def __init__(self, rows):
+        self._geoms = None
+        n = len(rows)
+        self.ids = np.empty(n, dtype=np.int64)
+        self.fxmin = np.empty(n, dtype=np.float64)
+        self.fymin = np.empty(n, dtype=np.float64)
+        self.fxmax = np.empty(n, dtype=np.float64)
+        self.fymax = np.empty(n, dtype=np.float64)
+        self.wkbs = []
+        for i, r in enumerate(rows):
+            self.ids[i] = r["feature_id"]
+            self.fxmin[i] = r["fxmin"]
+            self.fymin[i] = r["fymin"]
+            self.fxmax[i] = r["fxmax"]
+            self.fymax[i] = r["fymax"]
+            self.wkbs.append(bytes(r["geom"]))
+
+    def overlapping(self, xmin, ymin, xmax, ymax) -> np.ndarray:
+        """Indices of features whose bbox intersects the given tile box."""
+        return np.nonzero(
+            (self.fxmin < xmax)
+            & (self.fxmax > xmin)
+            & (self.fymin < ymax)
+            & (self.fymax > ymin)
+        )[0]
+
+    def geom(self, i: int):
+        """Parsed geometry, cached per worker (the broadcast value is
+        deserialized once per executor, so the cache amortizes across all
+        tasks and batches)."""
+        g = self._geoms
+        if g is None:
+            g = self._geoms = [None] * len(self.wkbs)
+        if g[i] is None:
+            g[i] = G.from_wkb(self.wkbs[i])
+        return g[i]
+
+
+#: features above this count fall back to the cover-join strategy
+BROADCAST_FEATURE_LIMIT = 200_000
+
+
+def build_candidates(
+    values: Raster, feats: DataFrame, broadcast_features: bool = True
+):
+    """Choose the candidate strategy (the reference's --strategy flag,
+    exactextract.cpp:95-101):
+
+    - feature-sequential / broadcast (small feature table): returns
+      ``(tiles_df, sc.broadcast(FeatureBroadcast))`` — single-stage plan.
+    - raster-sequential / cover join (huge feature table): returns
+      ``(joined_df_with_feats_lists, None)``.
+    """
+    if not broadcast_features:
+        return candidate_pairs(values, feats, broadcast_features=False), None
+    rows = feats.select(
+        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
+    ).limit(BROADCAST_FEATURE_LIMIT + 1).collect()
+    if len(rows) > BROADCAST_FEATURE_LIMIT:
+        return candidate_pairs(values, feats, broadcast_features=True), None
+    fb = FeatureBroadcast(rows)
+    tile_side = values.raw_meta
+    if tile_side is None:
+        tile_side = values.tiles
+    # driver-side tile pruning from feature bboxes (the reference's crop,
+    # exact_extract.cpp:359-361): skip the filter when features blanket the
+    # raster — scanning everything beats building a huge IN-set
+    m = values.meta
+    step_x = m.dx * m.tile_w
+    step_y = m.dy * m.tile_h
+    keys: set[tuple[int, int]] = set()
+    blanket = False
+    cap = max(64, (m.n_tile_rows * m.n_tile_cols) // 2)
+    for i in range(len(fb.ids)):
+        tr0 = max(0, min(m.n_tile_rows - 1, int((m.ymax - fb.fymax[i]) // step_y)))
+        tr1 = max(0, min(m.n_tile_rows - 1, int((m.ymax - fb.fymin[i]) // step_y)))
+        tc0 = max(0, min(m.n_tile_cols - 1, int((fb.fxmin[i] - m.xmin) // step_x)))
+        tc1 = max(0, min(m.n_tile_cols - 1, int((fb.fxmax[i] - m.xmin) // step_x)))
+        for tr in range(tr0, tr1 + 1):
+            for tc in range(tc0, tc1 + 1):
+                keys.add((tr, tc))
+        if len(keys) > cap:
+            blanket = True
+            break
+    if not blanket and len(keys) < m.n_tile_rows * m.n_tile_cols:
+        spark = tile_side.sparkSession
+        keys_df = spark.createDataFrame(
+            sorted(keys), schema="tile_row int, tile_col int"
+        )
+        tile_side = tile_side.join(
+            F.broadcast(keys_df), on=["tile_row", "tile_col"], how="inner"
+        )
+    sc = tile_side.sparkSession.sparkContext
+    return tile_side, sc.broadcast(fb)
+
+
 def candidate_pairs_flat(values: Raster, feats: DataFrame) -> DataFrame:
     """Metadata-only (feature × tile) candidate pairs with the exact bbox
     refine — no pixel payloads; for diagnostics / pair accounting."""
@@ -278,8 +392,13 @@ def coverage_facts(
     default_value: float | None = None,
     default_weight: float | None = None,
     emit: str = "pixels",
+    feats_bc=None,
 ) -> DataFrame:
     """Run the exact coverage kernel per (feature, tile) row.
+
+    ``feats_bc`` (a ``sc.broadcast(FeatureBroadcast)``) switches the kernel
+    to the feature-sequential strategy: ``cand`` is then the bare tile
+    DataFrame and candidates are found by a vectorized bbox test.
 
     ``emit`` selects the kernel-side reduction (the reference's per-chunk
     StatsRegistry accumulation, stats_registry.h:25-84, done before the
@@ -306,7 +425,49 @@ def coverage_facts(
 
         from ..core.png import decode_tile as _decode
 
+        fb = feats_bc.value if feats_bc is not None else None
         geom_cache: dict[bytes, object] = {}
+
+        def _iter_feats(row):
+            """Yield (feature_id, geom, fxmin, fymin, fxmax, fymax) for
+            candidates of this tile, from the broadcast (vectorized bbox
+            test) or the per-tile list (cover-join mode)."""
+            if fb is not None:
+                for j in fb.overlapping(row.xmin, row.ymin, row.xmax, row.ymax):
+                    yield (
+                        int(fb.ids[j]),
+                        fb.geom(j),
+                        fb.fxmin[j],
+                        fb.fymin[j],
+                        fb.fxmax[j],
+                        fb.fymax[j],
+                    )
+                return
+            for ft in row.feats:
+                # exact bbox refine (cover cells are floor-rounded)
+                if (
+                    ft["fxmin"] >= row.xmax
+                    or ft["fxmax"] <= row.xmin
+                    or ft["fymin"] >= row.ymax
+                    or ft["fymax"] <= row.ymin
+                ):
+                    continue
+                gwkb = bytes(ft["geom"])
+                geom = geom_cache.get(gwkb)
+                if geom is None:
+                    geom = G.from_wkb(gwkb)
+                    if len(geom_cache) > 4096:
+                        geom_cache.clear()
+                    geom_cache[gwkb] = geom
+                yield (
+                    ft["feature_id"],
+                    geom,
+                    ft["fxmin"],
+                    ft["fymin"],
+                    ft["fxmax"],
+                    ft["fymax"],
+                )
+
         for pdf in batches:
             outs = []
             has_w = "wtiles" in pdf.columns
@@ -325,25 +486,8 @@ def coverage_facts(
                         int(row.nrows), int(row.ncols)
                     )
                 tile_grid = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
-                for ft in row.feats:
-                    # exact bbox refine (cover cells are floor-rounded)
-                    if (
-                        ft["fxmin"] >= row.xmax
-                        or ft["fxmax"] <= row.xmin
-                        or ft["fymin"] >= row.ymax
-                        or ft["fymax"] <= row.ymin
-                    ):
-                        continue
-                    gwkb = bytes(ft["geom"])
-                    geom = geom_cache.get(gwkb)
-                    if geom is None:
-                        geom = G.from_wkb(gwkb)
-                        if len(geom_cache) > 4096:
-                            geom_cache.clear()
-                        geom_cache[gwkb] = geom
-                    sub = tile_grid.crop(
-                        Box(ft["fxmin"], ft["fymin"], ft["fxmax"], ft["fymax"])
-                    )
+                for feature_id, geom, fxmin, fymin, fxmax, fymax in _iter_feats(row):
+                    sub = tile_grid.crop(Box(fxmin, fymin, fxmax, fymax))
                     if sub.size == 0:
                         continue
                     cov = coverage_fraction(sub, geom)
@@ -355,7 +499,6 @@ def coverage_facts(
                     r_off, c_off = tile_grid.row_col_offset(sub)
                     tr = rr + r_off
                     tc = cc + c_off
-                    feature_id = ft["feature_id"]
                     v = px[tr, tc]
                     if default_value is not None:
                         v = np.where(np.isnan(v), default_value, v)
@@ -515,11 +658,12 @@ def exact_extract(
                 "is not supported"
             )
 
-    cand = candidate_pairs(values, features, broadcast_features)
+    cand, feats_bc = build_candidates(values, features, broadcast_features)
     if wraster is not None:
         cand = _attach_weights(cand, values, wraster)
 
     kernel_kwargs = dict(
+        feats_bc=feats_bc,
         values_meta=values.meta,
         weighted=wraster is not None or area_weights,
         area_weights=area_weights,
@@ -595,11 +739,12 @@ def exact_extract_pixels(
     """The R-function path's pixel table (ref src/exact_extract.cpp:46-237):
     one row per (feature, covered cell) with value / coverage_fraction /
     optional weight / x / y / cell / area columns."""
-    cand = candidate_pairs(values, features, broadcast_features)
+    cand, feats_bc = build_candidates(values, features, broadcast_features)
     if weights is not None:
         cand = _attach_weights(cand, values, weights)
     facts = coverage_facts(
         cand,
+        feats_bc=feats_bc,
         values_meta=values.meta,
         include_cell=include_cell,
         include_xy=include_xy,

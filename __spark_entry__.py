@@ -321,6 +321,133 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang_pred")
 
 
+def _q_zonal_area_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weights='area' (cartesian): dx=dy=1 so area ≡ 1 and the weighted
+    stats must equal their unweighted counterparts — an end-to-end exactness
+    check of the cell-area path (ref R/exact_extract_helpers.R:154-160)."""
+    from exactextractr_spark.operators.zonal import exact_extract
+
+    df = exact_extract(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        ["weighted_mean", "weighted_count", "weighted_sum"], weights="area",
+    )
+    return df.select(
+        "feature_id",
+        F.col("weighted_mean").alias("awmean_v"),
+        F.col("weighted_count").alias("awcount_v"),
+        F.col("weighted_sum").alias("awsum_v"),
+    )
+
+
+def _q_zonal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.stack import exact_extract_stack
+
+    df = exact_extract_stack(
+        [_synth_raster(spark), _synth_raster(spark, weights=True)],
+        _synth_features(spark, sf_dir),
+        ["mean", "max"],
+    )
+    return df.select(
+        "feature_id",
+        F.col("`mean.v`").alias("mean_v"),
+        F.col("`max.v`").alias("max_v"),
+        F.col("`mean.w`").alias("mean_w"),
+        F.col("`max.w`").alias("max_w"),
+    )
+
+
+def _q_pixels_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    px = exact_extract_pixels(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        include_xy=True, include_cell=True, include_area=True,
+    )
+    return px.select(
+        "feature_id",
+        F.col("value").alias("v"),
+        F.col("coverage_fraction").alias("cov"),
+        "x", "y", "cell", "area",
+    )
+
+
+def _q_weighted_frac_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    px = exact_extract_pixels(
+        _synth_raster(spark), _synth_features(spark, sf_dir),
+        weights=_synth_raster(spark, weights=True),
+    )
+    freq = px.groupBy("feature_id", F.col("value").alias("val")).agg(
+        F.sum(F.col("coverage_fraction") * F.col("weight")).alias("sum_cw")
+    )
+    tot = freq.groupBy("feature_id").agg(F.sum("sum_cw").alias("tot"))
+    return freq.join(tot, "feature_id").select(
+        "feature_id", "val", (F.col("sum_cw") / F.col("tot")).alias("wfrac")
+    )
+
+
+def _q_resample_misaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination grid NOT an integer multiple of the source (dx=4.5):
+    exercises the fractional rectangle-overlap path; all fractions are
+    halves so results stay dyadic-exact."""
+    from exactextractr_spark.operators.resample import exact_resample
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    dst = RasterMeta("d", xmin=0, ymax=GRID_N, dx=4.5, dy=4.5, width=10,
+                     height=10, tile_w=10, tile_h=10)
+    return exact_resample(_synth_raster(spark), dst, "mean").select(
+        F.col("dst_row").cast("long").alias("dst_row"),
+        F.col("dst_col").cast("long").alias("dst_col"),
+        F.col("value").alias("mean_v"),
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (hyperplane hash family not expressible in SQL)."""
+    from exactextractr_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = lsh_cosine_topk(emb, queries, 10, dim=dim)
+    return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (Spark xxhash64 family not available in DuckDB)."""
+    from exactextractr_spark.operators.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fp64")
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (PNG decode not expressible in SQL): decode + feature
+    extraction over the synthetic image tile table."""
+    from exactextractr_spark.operators.multimodal import image_features
+
+    raster = _synth_raster(spark)
+    feats = image_features(raster._raw)
+    return feats.select(
+        "image_id", "h", "w", "mean_px", "std_px", "phash"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -349,6 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
+        "zonal_area_weighted": _q_zonal_area_weighted,
+        "zonal_stack": _q_zonal_stack,
+        "pixels_xy": _q_pixels_xy,
+        "weighted_frac_long": _q_weighted_frac_long,
+        "resample_misaligned": _q_resample_misaligned,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_cosine": _q_lsh_cosine,
+        "fingerprint64": _q_fingerprint,
+        "image_features_png": _q_image_features,
     }
 
 
@@ -530,6 +666,82 @@ SELECT doc_id,
          / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS distinct_word_ratio
 FROM documents
 """,
-        # minhash_dedup / simhash / lang_id: rows-only (hash families and
-        # argmax-by-struct not expressible portably in SQL)
+        "zonal_area_weighted": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov) / SUM(cov) AS awmean_v,
+       SUM(cov) AS awcount_v,
+       SUM(v * cov) AS awsum_v
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_stack": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov) / SUM(cov) AS mean_v,
+       MAX(v) AS max_v,
+       SUM(w * cov) / SUM(cov) AS mean_w,
+       MAX(w) AS max_w
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "pixels_xy": _FACTS_CTE + f"""
+SELECT feature_id, v, cov,
+       c + 0.5 AS x,
+       {g} - r - 0.5 AS y,
+       r * {g} + c + 1 AS cell,
+       1.0 AS area
+FROM facts WHERE cov > 0
+""",
+        "weighted_frac_long": _FACTS_CTE + """
+, freq AS (
+  SELECT feature_id, v AS val, SUM(cov * w) AS sum_cw
+  FROM facts WHERE cov > 0 GROUP BY feature_id, v
+), tot AS (
+  SELECT feature_id, SUM(sum_cw) AS tot FROM freq GROUP BY feature_id
+)
+SELECT f.feature_id, f.val, f.sum_cw / t.tot AS wfrac
+FROM freq f JOIN tot t USING (feature_id)
+""",
+        "resample_misaligned": f"""
+WITH cells AS (
+  SELECT CAST(i // {g} AS BIGINT) AS r, CAST(i % {g} AS BIGINT) AS c,
+         CAST(i % 97 AS DOUBLE) AS v
+  FROM range({g * g}) t(i)
+), dst AS (
+  SELECT CAST(i // 10 AS BIGINT) AS dr, CAST(i % 10 AS BIGINT) AS dc
+  FROM range(100) t(i)
+), rf AS (
+  SELECT d.dr, d.dc, cl.v,
+         GREATEST(0, LEAST(cl.c + 1, 4.5 * (d.dc + 1)) - GREATEST(cl.c, 4.5 * d.dc)) *
+         GREATEST(0, LEAST({g} - cl.r, {g} - 4.5 * d.dr) - GREATEST({g} - 1 - cl.r, {g} - 4.5 * (d.dr + 1))) AS cov
+  FROM dst d JOIN cells cl
+    ON cl.c + 1 > 4.5 * d.dc AND cl.c < 4.5 * (d.dc + 1)
+   AND {g} - cl.r > {g} - 4.5 * (d.dr + 1) AND {g} - 1 - cl.r < {g} - 4.5 * d.dr
+)
+SELECT dr AS dst_row, dc AS dst_col, SUM(v * cov) / SUM(cov) AS mean_v
+FROM rf WHERE cov > 0 GROUP BY dr, dc
+""",
+        "ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(lower(regexp_replace(text, '[^\w\s]', '', 'g')), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, GREATEST(len(t) - 3, 0) + 2)) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), sizes AS (
+  SELECT id, COUNT(*) AS sz FROM grams GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+""",
+        # minhash_dedup / simhash / lang_id / lsh_cosine / fingerprint64 /
+        # image_features_png: rows-only (hash families, bit mixing, and PNG
+        # decode are not expressible portably in SQL)
     }

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-HEADLINE_N = int(os.environ.get("BENCH_N", "2048"))
+HEADLINE_N = int(os.environ.get("BENCH_N", "8192"))
 HEADLINE_TILE = 256
 N_FEATURES = int(os.environ.get("BENCH_FEATURES", "128"))
 
@@ -76,17 +76,21 @@ def build_headline_inputs(spark, tmp_dir: str | None = None):
             yield pd.DataFrame(rows)
 
     n_tiles = meta.n_tile_rows * meta.n_tile_cols
-    tiles_path = (tmp_dir or "/tmp/exactextractr_bench") + "/tiles"
-    import shutil
+    # file count FIXED (not CPUS-dependent) so every parallelism level reads
+    # the identical input, and small enough that each file holds several
+    # tiles (scan tasks stay balanced at any local[N])
+    n_files = min(64, n_tiles)
+    tiles_path = (tmp_dir or "/tmp/exactextractr_bench") + f"/tiles_n{HEADLINE_N}"
+    import os as _os
 
-    shutil.rmtree(tiles_path, ignore_errors=True)
-    (
-        spark.range(n_tiles)
-        .repartition(CPUS)
-        .mapInPandas(_gen, TILE_SCHEMA)
-        .write.mode("overwrite")
-        .parquet(tiles_path)
-    )
+    if not _os.path.exists(tiles_path + "/_SUCCESS"):
+        (
+            spark.range(n_tiles)
+            .repartition(n_files)
+            .mapInPandas(_gen, TILE_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(tiles_path)
+        )
     raster = Raster.from_tiles(spark.read.parquet(tiles_path), meta)
 
     wkts = []
@@ -130,7 +134,10 @@ def run_headline(spark) -> tuple[float, float, int]:
         return time.time() - t0
 
     cold = once()  # includes python-worker imports + parquet footer reads
-    warm = min(once(), once())  # steady-state throughput
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # best-of-k: this host is a shared VM with noisy neighbors; min is the
+    # code's capability, medians over interleaved runs live in tools/scaling.py
+    warm = min(once() for _ in range(reps))
     return cold, warm, n_tiles
 
 

@@ -253,9 +253,12 @@ def build_candidates(
     """
     if not broadcast_features:
         return candidate_pairs(values, feats, broadcast_features=False), None
+    # single-shot collect (a limit().collect() costs 2-3 incremental-limit
+    # jobs); feature tables too large to land on the driver should pass
+    # broadcast_features=False for the cover-join strategy
     rows = feats.select(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
-    ).limit(BROADCAST_FEATURE_LIMIT + 1).collect()
+    ).collect()
     if len(rows) > BROADCAST_FEATURE_LIMIT:
         return candidate_pairs(values, feats, broadcast_features=True), None
     fb = FeatureBroadcast(rows)
@@ -708,8 +711,15 @@ def exact_extract(
         )
 
     # features with no facts: reference returns a row with 0/NA stats
-    # (test_exact_extract.R:433-485) — left join back to the feature list
-    base = features.select("feature_id")
+    # (test_exact_extract.R:433-485) — left join back to the feature list.
+    # In broadcast mode the ids are already on the driver: a LocalRelation
+    # avoids re-scanning the feature source (one fewer job per query).
+    if feats_bc is not None:
+        base = features.sparkSession.createDataFrame(
+            [(int(i),) for i in feats_bc.value.ids], schema="feature_id long"
+        )
+    else:
+        base = features.select("feature_id")
     result = base.join(result, on="feature_id", how="left")
     fill = {}
     for s in ("count", "sum", "weighted_count", "weighted_sum", "variety"):

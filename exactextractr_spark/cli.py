@@ -67,15 +67,32 @@ def main(argv=None):
     descs = [parse_stat_descriptor(s) for s in args.stat]
     stats = [d.stat for d in descs]
 
+    from pyspark.sql import functions as F
+
     tiles = spark.read.parquet(args.tiles)
-    first = tiles.limit(1).collect()[0]
-    vmeta = _raster_meta_from_caption(first["caption"], first["w"], first["h"])
+    vtiles = tiles
     if args.layer:
-        vmeta = type(vmeta)(**{**vmeta.__dict__, "layer": args.layer})
+        vtiles = tiles.filter(
+            F.get_json_object("caption", "$.layer") == args.layer
+        )
+    vfirst = vtiles.limit(1).collect()
+    if not vfirst:
+        raise ValueError(f"no tiles found for layer {args.layer!r}")
+    vmeta = _raster_meta_from_caption(vfirst[0]["caption"], vfirst[0]["w"], vfirst[0]["h"])
     values = Raster.from_tiles(tiles, vmeta)
     weights = None
     if args.weight_layer:
-        wmeta = type(vmeta)(**{**vmeta.__dict__, "layer": args.weight_layer})
+        # the weight layer may sit on its own grid (e.g. finer resolution,
+        # triggering value disaggregation) — read ITS caption, not the
+        # value layer's
+        wfirst = tiles.filter(
+            F.get_json_object("caption", "$.layer") == args.weight_layer
+        ).limit(1).collect()
+        if not wfirst:
+            raise ValueError(f"no tiles found for weight layer {args.weight_layer!r}")
+        wmeta = _raster_meta_from_caption(
+            wfirst[0]["caption"], wfirst[0]["w"], wfirst[0]["h"]
+        )
         weights = Raster.from_tiles(tiles, wmeta)
 
     feats = prepare_features(spark.read.parquet(args.polys), args.id, args.geom)

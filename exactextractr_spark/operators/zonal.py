@@ -396,6 +396,7 @@ def coverage_facts(
     default_weight: float | None = None,
     emit: str = "pixels",
     feats_bc=None,
+    disagg: "tuple[int, int]" = (1, 1),
 ) -> DataFrame:
     """Run the exact coverage kernel per (feature, tile) row.
 
@@ -429,6 +430,7 @@ def coverage_facts(
         from ..core.png import decode_tile as _decode
 
         fb = feats_bc.value if feats_bc is not None else None
+        fx, fy = disagg
         geom_cache: dict[bytes, object] = {}
 
         def _iter_feats(row):
@@ -493,15 +495,26 @@ def coverage_facts(
                     sub = tile_grid.crop(Box(fxmin, fymin, fxmax, fymax))
                     if sub.size == 0:
                         continue
-                    cov = coverage_fraction(sub, geom)
+                    if fx > 1 or fy > 1:
+                        # disaggregate: coverage on the finer common grid;
+                        # the value raster is sampled by integer division —
+                        # the reference's lazy RasterView (raster.h:248-312)
+                        # without materializing the upsampled block
+                        samp = Grid(
+                            sub.xmin, sub.ymin, sub.xmax, sub.ymax,
+                            sub.dx / fx, sub.dy / fy,
+                        )
+                    else:
+                        samp = sub
+                    cov = coverage_fraction(samp, geom)
                     rr, cc = np.nonzero(cov > 0)
                     if len(rr) == 0:
                         continue
                     covv = cov[rr, cc]
                     # offsets of the cropped grid within the tile
                     r_off, c_off = tile_grid.row_col_offset(sub)
-                    tr = rr + r_off
-                    tc = cc + c_off
+                    tr = rr // fy + r_off
+                    tc = cc // fx + c_off
                     v = px[tr, tc]
                     if default_value is not None:
                         v = np.where(np.isnan(v), default_value, v)
@@ -509,19 +522,20 @@ def coverage_facts(
                         ok = ~np.isnan(v)
                         if not ok.all():
                             tr, tc, v, covv = tr[ok], tc[ok], v[ok], covv[ok]
+                            rr, cc = rr[ok], cc[ok]
                         if len(v) == 0:
                             continue
                     n = len(v)
-                    # cell centers in world coords
-                    cx = tile_grid.xmin + (tc + 0.5) * tile_grid.dx
-                    cy = tile_grid.ymax - (tr + 0.5) * tile_grid.dy
+                    # cell centers in world coords, at sampling resolution
+                    cx = samp.xmin + (cc + 0.5) * samp.dx
+                    cy = samp.ymax - (rr + 0.5) * samp.dy
                     rec: dict[str, np.ndarray] = {
                         "feature_id": np.full(n, feature_id, dtype=np.int64),
                         "v": v,
                         "cov": covv,
                     }
                     if need_area:
-                        area = cell_areas(tile_grid, tr, spherical)
+                        area = cell_areas(samp, rr, spherical)
                     else:
                         area = None
                     if coverage_area and area is not None:
@@ -588,8 +602,10 @@ def coverage_facts(
                         continue
                     if need_cell:
                         # 1-based global cell index of the value raster, row-major
-                        grow = np.round((raster_ymax - cy - 0.5 * tile_grid.dy) / tile_grid.dy)
-                        gcol = np.round((cx - raster_xmin - 0.5 * tile_grid.dx) / tile_grid.dx)
+                        # 1-based cell index of the VALUE raster even when
+                        # disaggregated (ref raster_utils.cpp:53-118)
+                        grow = int(round((raster_ymax - tile_grid.ymax) / tile_grid.dy)) + tr
+                        gcol = int(round((tile_grid.xmin - raster_xmin) / tile_grid.dx)) + tc
                         rec["cell"] = (grow * raster_width + gcol + 1).astype(np.int64)
                     else:
                         rec["cell"] = np.zeros(n, dtype=np.int64)
@@ -644,6 +660,7 @@ def exact_extract(
     wraster = weights if isinstance(weights, Raster) else None
     if plan.needs_weights and weights is None:
         raise ValueError(f"stats {sorted(set(stats))} require weights")
+    disagg = (1, 1)
     if wraster is not None:
         vg, wg = values.meta.grid, wraster.meta.grid
         # grid compatibility: integer-multiple resolution + aligned origins
@@ -654,12 +671,16 @@ def exact_extract(
                 "(resolutions must be integer multiples, origins aligned)"
             )
         if wg.dx < vg.dx or wg.dy < vg.dy:
-            # finer weights disaggregate the VALUE raster in the reference
-            # (RasterView, raster.h:248-312); not implemented here
-            raise NotImplementedError(
-                "weight grid finer than value grid (value disaggregation) "
-                "is not supported"
-            )
+            # finer weights disaggregate the VALUE raster onto the finest
+            # common grid (ref RasterView, raster.h:248-312); count/sum are
+            # meaningless on disaggregated values (exact_extract.cpp:329-332)
+            disagg = (int(round(vg.dx / wg.dx)), int(round(vg.dy / wg.dy)))
+            banned = {"count", "sum"} & set(stats)
+            if banned:
+                raise ValueError(
+                    f"stats {sorted(banned)} cannot be computed when the "
+                    "value raster is disaggregated to a finer weight grid"
+                )
 
     cand, feats_bc = build_candidates(values, features, broadcast_features)
     if wraster is not None:
@@ -667,6 +688,7 @@ def exact_extract(
 
     kernel_kwargs = dict(
         feats_bc=feats_bc,
+        disagg=disagg,
         values_meta=values.meta,
         weighted=wraster is not None or area_weights,
         area_weights=area_weights,
@@ -750,11 +772,16 @@ def exact_extract_pixels(
     one row per (feature, covered cell) with value / coverage_fraction /
     optional weight / x / y / cell / area columns."""
     cand, feats_bc = build_candidates(values, features, broadcast_features)
+    disagg = (1, 1)
     if weights is not None:
+        wg, vg = weights.meta.grid, values.meta.grid
+        if wg.dx < vg.dx or wg.dy < vg.dy:
+            disagg = (int(round(vg.dx / wg.dx)), int(round(vg.dy / wg.dy)))
         cand = _attach_weights(cand, values, weights)
     facts = coverage_facts(
         cand,
         feats_bc=feats_bc,
+        disagg=disagg,
         values_meta=values.meta,
         include_cell=include_cell,
         include_xy=include_xy,

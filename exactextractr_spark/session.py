@@ -39,6 +39,15 @@ def get_spark(
             str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # G1 treats the ~32 MB Arrow/columnar batches of tile bytes as
+        # humongous allocations and GC-storms when many tasks stream them
+        # concurrently; the throughput collector handles the short-lived
+        # big-buffer churn far better (measured: stage GC 162s -> <20s at
+        # local[32] on the zonal kernel stage)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -230,7 +230,8 @@ def decode_tiles(tiles: DataFrame, layer: str | None = None) -> DataFrame:
                 out["nrows"].append(int(h))
                 out["ncols"].append(int(w))
                 out["px"].append(px.ravel())
-            yield pd.DataFrame(out)
+            if out["px"]:  # all-filtered batch: empty object cols break Arrow
+                yield pd.DataFrame(out)
 
     cols = ["bytes", "w", "h", "caption"]
     return tiles.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)

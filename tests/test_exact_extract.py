@@ -204,6 +204,43 @@ def test_multires_weights(spark):
     assert got["mean"] == pytest.approx(want_m, rel=1e-12)
 
 
+def test_finer_weights_disaggregate_values(spark):
+    # weights FINER than values: the value raster is disaggregated onto the
+    # finest common grid (ref RasterView raster.h:248-312 via
+    # exact_extract.cpp:96-98); count/sum forbidden (exact_extract.cpp:329-332)
+    vals = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    wts = np.arange(1, 37, dtype=np.float64).reshape(6, 6)
+    vmeta = RasterMeta("v", xmin=0, ymax=6, dx=2, dy=2, width=3, height=3,
+                       tile_w=3, tile_h=3)
+    wmeta = RasterMeta("w", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                       tile_w=6, tile_h=6)
+    rv = Raster.from_array(spark, vals, vmeta)
+    rw = Raster.from_array(spark, wts, wmeta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 4.5 0.5, 4.5 4.5, 0.5 4.5, 0.5 0.5))"]
+    )
+    got = one_row(
+        exact_extract(rv, feats, ["weighted_mean", "mean", "weighted_sum"],
+                      weights=rw)
+    )
+    # oracle at the fine (1x1) grid: values np.kron-upsampled
+    vfull = np.kron(vals, np.ones((2, 2)))
+    cov = np.zeros((6, 6))
+    for rr in range(6):
+        for cc in range(6):
+            ox = max(0.0, min(4.5, cc + 1) - max(0.5, cc))
+            oy = max(0.0, min(4.5, 6 - rr) - max(0.5, 5 - rr))
+            cov[rr, cc] = ox * oy
+    want_wm = (vfull * cov * wts).sum() / (cov * wts).sum()
+    want_m = (vfull * cov).sum() / cov.sum()
+    want_ws = (vfull * cov * wts).sum()
+    assert got["weighted_mean"] == pytest.approx(want_wm, rel=1e-12)
+    assert got["mean"] == pytest.approx(want_m, rel=1e-12)
+    assert got["weighted_sum"] == pytest.approx(want_ws, rel=1e-12)
+    with pytest.raises(ValueError, match="disaggregated"):
+        exact_extract(rv, feats, ["count"], weights=rw)
+
+
 def test_polygon_outside_raster(spark, r19):
     # test_exact_extract.R:433-485: disjoint polygon -> count/sum 0, mean NA
     feats = features_from_wkt(

@@ -67,14 +67,20 @@ def test_incompatible_weight_grid(spark):
                       ["weighted_mean"], weights=w)
 
 
-def test_finer_weights_not_implemented(spark):
-    v = Raster.from_array(spark, np.ones((3, 3)), meta33("v"))
+def test_finer_weights_disaggregate(spark):
+    # finer weights now disaggregate the value raster (RasterView analog);
+    # with uniform weights the weighted mean equals the unweighted mean,
+    # and count/sum are rejected (ref exact_extract.cpp:329-332)
+    v = Raster.from_array(spark, np.arange(1.0, 10.0).reshape(3, 3), meta33("v"))
     wmeta = RasterMeta("w", xmin=0, ymax=3, dx=0.5, dy=0.5, width=6, height=6,
                        tile_w=6, tile_h=6)
     w = Raster.from_array(spark, np.ones((6, 6)), wmeta)
-    with pytest.raises(NotImplementedError):
-        exact_extract(v, features_from_wkt(spark, [SQ_WKT]),
-                      ["weighted_mean"], weights=w)
+    feats = features_from_wkt(spark, [SQ_WKT])
+    got = exact_extract(v, feats, ["weighted_mean"], weights=w).collect()[0]
+    plain = exact_extract(v, feats, ["mean"]).collect()[0]
+    assert got["weighted_mean"] == pytest.approx(plain["mean"], rel=1e-12)
+    with pytest.raises(ValueError, match="disaggregated"):
+        exact_extract(v, feats, ["sum"], weights=w)
 
 
 def test_dense_coverage_crop_and_full(spark):

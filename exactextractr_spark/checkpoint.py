@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.zonal import candidate_pairs, coverage_facts
+from .operators.zonal import build_candidates, coverage_facts
 from .plans.stats import StatsPlan
 from .sources.tiles import Raster
 
@@ -79,7 +79,8 @@ class ZonalCheckpointer:
         done = set(int(b) for b in man["buckets"])
         spark = features.sparkSession
 
-        cand = candidate_pairs(values, features).withColumn(
+        cand, feats_bc = build_candidates(values, features)
+        cand = cand.withColumn(
             "_bucket",
             F.pmod(F.xxhash64("tile_row", "tile_col"), F.lit(self.n_buckets)),
         )
@@ -89,6 +90,7 @@ class ZonalCheckpointer:
             t0 = time.time()
             moments = coverage_facts(
                 cand.filter(F.col("_bucket") == b),
+                feats_bc=feats_bc,
                 values_meta=values.meta,
                 emit="moments",
             )
@@ -120,6 +122,15 @@ class ZonalCheckpointer:
         ]
         total = merged.groupBy("feature_id").agg(*aggs)
         fin = plan.finalize_columns()
-        return total.select(
+        result = total.select(
             "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
         )
+        # features with no facts keep their row (0/NA stats), same as
+        # exact_extract (ref test_exact_extract.R:433-485)
+        base = features.select("feature_id")
+        result = base.join(result, on="feature_id", how="left")
+        fill = {s: 0.0 for s in ("count", "sum", "weighted_count", "weighted_sum")
+                if s in result.columns}
+        if fill:
+            result = result.fillna(fill)
+        return result.orderBy("feature_id")

@@ -153,7 +153,10 @@ def feature_tile_cover(values: Raster, feats: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    values: Raster, feats: DataFrame, broadcast_features: bool = True
+    values: Raster,
+    feats: DataFrame,
+    broadcast_features: bool = True,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Grouped candidate join: each tile row carries the LIST of features
     overlapping it, so a tile's (heavy) pixel payload crosses the JVM→Python
@@ -161,7 +164,13 @@ def candidate_pairs(
     of a continent-sized polygon duplicates only its (small) WKB into the
     per-tile lists, never the rasters. At 10^12-tile scale the per-tile
     work list is also the unit of checkpointing and skew is bounded by
-    features-per-tile, not cells-per-feature."""
+    features-per-tile, not cells-per-feature.
+
+    ``salt_buckets > 1`` splits each hot tile's feature list into that many
+    salt buckets (north-rule skew handling): the per-tile ``collect_list``
+    and the downstream kernel row both stay bounded; the tile payload is
+    replicated once per non-empty bucket — the standard payload-duplication
+    vs task-size salting trade."""
     cover = feature_tile_cover(values, feats).select(
         "tile_row",
         "tile_col",
@@ -169,9 +178,20 @@ def candidate_pairs(
             "_feat"
         ),
     )
-    per_tile = cover.groupBy("tile_row", "tile_col").agg(
+    group_keys = ["tile_row", "tile_col"]
+    if salt_buckets > 1:
+        cover = cover.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_feat.feature_id")), F.lit(salt_buckets)).cast(
+                "int"
+            ),
+        )
+        group_keys = group_keys + ["_salt"]
+    per_tile = cover.groupBy(*group_keys).agg(
         F.collect_list("_feat").alias("feats")
     )
+    if salt_buckets > 1:
+        per_tile = per_tile.drop("_salt")
     if broadcast_features:
         per_tile = F.broadcast(per_tile)
     tile_side = values.raw_meta
@@ -241,7 +261,10 @@ BROADCAST_FEATURE_LIMIT = 200_000
 
 
 def build_candidates(
-    values: Raster, feats: DataFrame, broadcast_features: bool = True
+    values: Raster,
+    feats: DataFrame,
+    broadcast_features: bool = True,
+    salt_buckets: int = 1,
 ):
     """Choose the candidate strategy (the reference's --strategy flag,
     exactextract.cpp:95-101):
@@ -252,7 +275,12 @@ def build_candidates(
       ``(joined_df_with_feats_lists, None)``.
     """
     if not broadcast_features:
-        return candidate_pairs(values, feats, broadcast_features=False), None
+        return (
+            candidate_pairs(
+                values, feats, broadcast_features=False, salt_buckets=salt_buckets
+            ),
+            None,
+        )
     # single-shot collect (a limit().collect() costs 2-3 incremental-limit
     # jobs); feature tables too large to land on the driver should pass
     # broadcast_features=False for the cover-join strategy
@@ -260,7 +288,12 @@ def build_candidates(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
     ).collect()
     if len(rows) > BROADCAST_FEATURE_LIMIT:
-        return candidate_pairs(values, feats, broadcast_features=True), None
+        return (
+            candidate_pairs(
+                values, feats, broadcast_features=True, salt_buckets=salt_buckets
+            ),
+            None,
+        )
     fb = FeatureBroadcast(rows)
     tile_side = values.raw_meta
     if tile_side is None:
@@ -643,6 +676,7 @@ def exact_extract(
     default_value: float | None = None,
     default_weight: float | None = None,
     broadcast_features: bool = True,
+    salt_buckets: int = 1,
     append_cols: "DataFrame | None" = None,
 ) -> DataFrame:
     """Named-stats path of the reference API (R/exact_extract.R:270-773).
@@ -682,7 +716,9 @@ def exact_extract(
                     "value raster is disaggregated to a finer weight grid"
                 )
 
-    cand, feats_bc = build_candidates(values, features, broadcast_features)
+    cand, feats_bc = build_candidates(
+        values, features, broadcast_features, salt_buckets=salt_buckets
+    )
     if wraster is not None:
         cand = _attach_weights(cand, values, wraster)
 

@@ -31,6 +31,9 @@ def get_spark(
         # JVM GC-thrashes; 64 rows keeps batches ~32 MB
         .config("spark.sql.parquet.columnarReaderBatchSize", "64")
         .config("spark.sql.orc.columnarReaderBatchSize", "64")
+        # tile files are dense binary; 32 MB splits give every parallelism
+        # level several task waves (smooth balance, short straggler tail)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

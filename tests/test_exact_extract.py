@@ -204,6 +204,25 @@ def test_multires_weights(spark):
     assert got["mean"] == pytest.approx(want_m, rel=1e-12)
 
 
+def test_salted_cover_join_equivalence(spark, r19):
+    # salting the per-tile feature lists (mega-polygon skew handling) must
+    # not change any result — only the physical grouping
+    feats = features_from_wkt(
+        spark,
+        [
+            SQ_WKT,
+            "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+            "POLYGON ((1.25 1.25, 1.75 1.25, 1.75 1.75, 1.25 1.75, 1.25 1.25))",
+        ],
+    )
+    stats = ["mean", "sum", "count", "mode", "median"]
+    base = exact_extract(r19, feats, stats).toPandas()
+    salted = exact_extract(
+        r19, feats, stats, broadcast_features=False, salt_buckets=4
+    ).toPandas()
+    assert base.equals(salted)
+
+
 def test_finer_weights_disaggregate_values(spark):
     # weights FINER than values: the value raster is disaggregated onto the
     # finest common grid (ref RasterView raster.h:248-312 via

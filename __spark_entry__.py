@@ -436,6 +436,32 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp64")
 
 
+def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD(A)F surface (the reference's R-function path, R/exact_extract.R:
+    585-721): a user applyInPandas function over the per-feature pixel
+    table; the function computes a coverage-weighted mean so DuckDB can
+    oracle it bit-exactly."""
+    import pandas as pd
+
+    from exactextractr_spark.operators.zonal import exact_extract_apply
+
+    def user_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["coverage_fraction"]
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "feature_id": [pdf["feature_id"].iloc[0]],
+                "wmean": [float((v * c).sum() / c.sum())],
+                "n_cells": [int(len(pdf))],
+            }
+        )
+
+    return exact_extract_apply(
+        _synth_raster(spark), _synth_features(spark, sf_dir), user_fn,
+        "feature_id long, wmean double, n_cells long",
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (PNG decode not expressible in SQL): decode + feature
     extraction over the synthetic image tile table."""
@@ -485,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine": _q_lsh_cosine,
         "fingerprint64": _q_fingerprint,
         "image_features_png": _q_image_features,
+        "udf_apply": _q_udf_apply,
     }
 
 
@@ -740,6 +767,12 @@ FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+""",
+        "udf_apply": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov) / SUM(cov) AS wmean,
+       COUNT(*) AS n_cells
+FROM facts WHERE cov > 0 GROUP BY feature_id
 """,
         # minhash_dedup / simhash / lang_id / lsh_cosine / fingerprint64 /
         # image_features_png: rows-only (hash families, bit mixing, and PNG

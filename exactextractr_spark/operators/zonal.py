@@ -776,9 +776,12 @@ def exact_extract(
         base = features.sparkSession.createDataFrame(
             [(int(i),) for i in feats_bc.value.ids], schema="feature_id long"
         )
+        # per-feature agg output is as small as the broadcast feature set:
+        # hint it so the backfill is a BroadcastHashJoin, not a sort-merge
+        result = base.join(F.broadcast(result), on="feature_id", how="left")
     else:
         base = features.select("feature_id")
-    result = base.join(result, on="feature_id", how="left")
+        result = base.join(result, on="feature_id", how="left")
     fill = {}
     for s in ("count", "sum", "weighted_count", "weighted_sum", "variety"):
         if s in result.columns:

@@ -33,6 +33,19 @@ N_FEATS = 24
 _raster_cache: dict[str, object] = {}
 
 
+def _tune(spark: SparkSession) -> SparkSession:
+    """Runtime-settable knobs for the driver's (possibly vanilla) session:
+    the default 200 shuffle partitions are pure overhead at oracle scale,
+    and AQE coalescing keeps small shuffles small."""
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # read-only conf (e.g. Spark Connect) — defaults still correct
+    return spark
+
+
 def _synth_raster(spark: SparkSession, weights: bool = False):
     from exactextractr_spark.sources.tiles import Raster, RasterMeta
 
@@ -109,6 +122,7 @@ WITH cells AS (
 # ---------------------------------------------------------------------------
 
 def _q_zonal_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -124,6 +138,7 @@ def _q_zonal_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -140,6 +155,7 @@ def _q_zonal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -156,6 +172,7 @@ def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -171,6 +188,7 @@ def _q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -183,6 +201,7 @@ def _q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract_pixels
 
     px = exact_extract_pixels(_synth_raster(spark), _synth_features(spark, sf_dir))
@@ -196,6 +215,7 @@ def _q_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_coverage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.coverage_op import coverage_fraction_df
 
     return coverage_fraction_df(
@@ -204,6 +224,7 @@ def _q_coverage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_candidate_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import candidate_pairs_flat
 
     cand = candidate_pairs_flat(_synth_raster(spark), _synth_features(spark, sf_dir))
@@ -213,6 +234,7 @@ def _q_candidate_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.rasterize import rasterize_polygons
     from exactextractr_spark.sources.tiles import RasterMeta
 
@@ -224,6 +246,7 @@ def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.resample import exact_resample
     from exactextractr_spark.sources.tiles import RasterMeta
 
@@ -237,6 +260,7 @@ def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.core.cellindex import CellIndex
     from exactextractr_spark.operators.knn import knn_points
 
@@ -260,6 +284,7 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -271,6 +296,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # dedup on a 40-char normalized prefix to force collisions
     norm = F.lower(F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40))
@@ -283,6 +309,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.textstats import quality_scores, token_counts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -299,6 +326,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (hash family not expressible in SQL)."""
+    _tune(spark)
     from exactextractr_spark.operators.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -308,6 +336,7 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (FNV bit-mixing not expressible in SQL)."""
+    _tune(spark)
     from exactextractr_spark.operators.dedup import simhash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -315,6 +344,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.textstats import language_id
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -325,6 +355,7 @@ def _q_zonal_area_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weights='area' (cartesian): dx=dy=1 so area ≡ 1 and the weighted
     stats must equal their unweighted counterparts — an end-to-end exactness
     check of the cell-area path (ref R/exact_extract_helpers.R:154-160)."""
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract
 
     df = exact_extract(
@@ -340,6 +371,7 @@ def _q_zonal_area_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.stack import exact_extract_stack
 
     df = exact_extract_stack(
@@ -357,6 +389,7 @@ def _q_zonal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pixels_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract_pixels
 
     px = exact_extract_pixels(
@@ -372,6 +405,7 @@ def _q_pixels_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_weighted_frac_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract_pixels
 
     px = exact_extract_pixels(
@@ -391,6 +425,7 @@ def _q_resample_misaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destination grid NOT an integer multiple of the source (dx=4.5):
     exercises the fractional rectangle-overlap path; all fractions are
     halves so results stay dyadic-exact."""
+    _tune(spark)
     from exactextractr_spark.operators.resample import exact_resample
     from exactextractr_spark.sources.tiles import RasterMeta
 
@@ -404,6 +439,7 @@ def _q_resample_misaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -417,6 +453,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (hyperplane hash family not expressible in SQL)."""
+    _tune(spark)
     from exactextractr_spark.operators.similarity import lsh_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -430,6 +467,7 @@ def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (Spark xxhash64 family not available in DuckDB)."""
+    _tune(spark)
     from exactextractr_spark.operators.textstats import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -441,6 +479,7 @@ def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     585-721): a user applyInPandas function over the per-feature pixel
     table; the function computes a coverage-weighted mean so DuckDB can
     oracle it bit-exactly."""
+    _tune(spark)
     import pandas as pd
 
     from exactextractr_spark.operators.zonal import exact_extract_apply
@@ -465,6 +504,7 @@ def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (PNG decode not expressible in SQL): decode + feature
     extraction over the synthetic image tile table."""
+    _tune(spark)
     from exactextractr_spark.operators.multimodal import image_features
 
     raster = _synth_raster(spark)

@@ -134,7 +134,7 @@ def run_headline(spark) -> tuple[float, float, int]:
         return time.time() - t0
 
     cold = once()  # includes python-worker imports + parquet footer reads
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     # best-of-k: this host is a shared VM with noisy neighbors; min is the
     # code's capability, medians over interleaved runs live in tools/scaling.py
     warm = min(once() for _ in range(reps))

@@ -601,20 +601,23 @@ def coverage_facts(
                         w = np.full(n, np.nan)
                         rec["w"] = w
                     if emit == "moments":
+                        # one scalar row per pair, accumulated as plain
+                        # python lists — a pandas frame per pair costs more
+                        # than the moments themselves
                         cw = covv * w
+                        vc = v * covv
+                        vcw = v * cw
                         outs.append(
-                            pd.DataFrame(
-                                {
-                                    "feature_id": [np.int64(feature_id)],
-                                    "_p_sum_c": [covv.sum()],
-                                    "_p_sum_xc": [(v * covv).sum()],
-                                    "_p_sum_xxc": [(v * v * covv).sum()],
-                                    "_p_sum_cw": [cw.sum()],
-                                    "_p_sum_xcw": [(v * cw).sum()],
-                                    "_p_sum_xxcw": [(v * v * cw).sum()],
-                                    "_p_min": [v.min()],
-                                    "_p_max": [v.max()],
-                                }
+                            (
+                                feature_id,
+                                covv.sum(),
+                                vc.sum(),
+                                (v * vc).sum(),
+                                cw.sum(),
+                                vcw.sum(),
+                                (v * vcw).sum(),
+                                v.min(),
+                                v.max(),
                             )
                         )
                         continue
@@ -623,13 +626,11 @@ def coverage_facts(
                         sum_c = np.bincount(inv, weights=covv)
                         sum_cw = np.bincount(inv, weights=covv * w)
                         outs.append(
-                            pd.DataFrame(
-                                {
-                                    "feature_id": np.full(len(uv), feature_id, np.int64),
-                                    "v": uv,
-                                    "sum_c": sum_c,
-                                    "sum_cw": sum_cw,
-                                }
+                            (
+                                np.full(len(uv), feature_id, np.int64),
+                                uv,
+                                sum_c,
+                                sum_cw,
                             )
                         )
                         continue
@@ -645,10 +646,30 @@ def coverage_facts(
                     rec["cx"] = cx if need_xy else np.zeros(n)
                     rec["cy"] = cy if need_xy else np.zeros(n)
                     rec["area"] = area if area is not None else np.zeros(n)
-                    outs.append(pd.DataFrame(rec))
+                    outs.append(tuple(rec[c] for c in _out_cols))
             if outs:
-                df = pd.concat(outs, ignore_index=True)
-                yield df[_out_cols]
+                # ONE frame per Arrow batch (np.concatenate of column
+                # arrays), not a pandas concat of per-pair frames
+                if emit == "moments":
+                    cols = list(zip(*outs))
+                    yield pd.DataFrame(
+                        {
+                            _out_cols[0]: np.asarray(cols[0], dtype=np.int64),
+                            **{
+                                name: np.asarray(cols[i], dtype=np.float64)
+                                for i, name in enumerate(_out_cols)
+                                if i > 0
+                            },
+                        }
+                    )
+                else:
+                    cols = list(zip(*outs))
+                    yield pd.DataFrame(
+                        {
+                            name: np.concatenate(cols[i])
+                            for i, name in enumerate(_out_cols)
+                        }
+                    )
 
     if emit == "moments":
         schema = MOMENTS_SCHEMA

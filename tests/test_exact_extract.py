@@ -204,6 +204,23 @@ def test_multires_weights(spark):
     assert got["mean"] == pytest.approx(want_m, rel=1e-12)
 
 
+def test_weighted_variance(spark, r19, sq):
+    # weighted variance/stdev: population variance with weight c_i*w_i
+    # (ref raster_stats.h:320-341, second WestVariance fed ciwi)
+    w = np.array([[3.0, 1.0, 2.0], [2.0, 5.0, 1.0], [1.0, 1.0, 4.0]])
+    wr = Raster.from_array(spark, w, meta33("w"))
+    got = one_row(
+        exact_extract(r19, sq, ["weighted_variance", "weighted_stdev"], weights=wr)
+    )
+    vals = np.arange(1.0, 10.0).reshape(3, 3)
+    cov = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]])
+    cw = cov * w
+    m = (vals * cw).sum() / cw.sum()
+    want = ((vals - m) ** 2 * cw).sum() / cw.sum()
+    assert got["weighted_variance"] == pytest.approx(want, rel=1e-12)
+    assert got["weighted_stdev"] == pytest.approx(np.sqrt(want), rel=1e-12)
+
+
 def test_salted_cover_join_equivalence(spark, r19):
     # salting the per-tile feature lists (mega-polygon skew handling) must
     # not change any result — only the physical grouping

@@ -50,6 +50,15 @@ def main(argv=None):
     p.add_argument("--stat", action="append", required=True,
                    help="stat descriptor, e.g. 'mean(v)' or 'ws=weighted_sum(v,w)'")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument(
+        "--strategy",
+        choices=["feature-sequential", "raster-sequential"],
+        default="feature-sequential",
+        help="feature-sequential broadcasts the feature table (reference "
+        "default); raster-sequential uses the tile-cover join "
+        "(exactextract.cpp:95-101)",
+    )
+    p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -101,13 +110,19 @@ def main(argv=None):
         ck = ZonalCheckpointer(args.checkpoint_dir)
         out = ck.run(values, feats, stats)
     else:
-        out = exact_extract(values, feats, stats, weights=weights)
+        out = exact_extract(
+            values, feats, stats, weights=weights,
+            broadcast_features=args.strategy == "feature-sequential",
+        )
     # rename stat columns to descriptor result names
     for d in descs:
         if d.stat in out.columns and d.name != d.stat:
             out = out.withColumnRenamed(d.stat, d.name)
-    out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    if args.format == "csv":
+        out.write.mode("overwrite").option("header", "true").csv(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.format(args.format).option("header", "true").load(args.output).count()
     print(
         json.dumps(
             {"rows": n, "wall_sec": round(time.time() - t0, 2),

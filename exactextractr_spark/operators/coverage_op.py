@@ -37,6 +37,102 @@ def coverage_fraction_df(
     return facts.select(*cols)
 
 
+def line_cell_lengths_df(
+    values: Raster,
+    features: DataFrame,
+    *,
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """Per-cell traversal LENGTH for LineString features — the reference's
+    linear analog of coverage (raster_cell_intersection.cpp:250-259; the
+    CLI accepts lines, the R API does not). Output: one row per
+    (feature, traversed cell) with the cell's value and the length of the
+    line inside that cell; stats over lines weight by length the way areal
+    stats weight by coverage fraction."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..core import geom as G
+    from ..core.coverage import cell_lengths
+    from ..core.grid import Grid
+
+    from .zonal import build_candidates
+
+    cand, feats_bc = build_candidates(values, features, broadcast_features)
+
+    schema = T.StructType(
+        [
+            T.StructField("feature_id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("length", T.DoubleType(), False),
+            T.StructField("cell", T.LongType(), False),
+        ]
+    )
+    raster_xmin = values.meta.xmin
+    raster_ymax = values.meta.ymax
+    raster_width = values.meta.width
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.png import decode_tile as _decode
+
+        fb = feats_bc.value if feats_bc is not None else None
+        geom_cache: dict[bytes, object] = {}
+        for pdf in batches:
+            outs = []
+            raw_mode = "px" not in pdf.columns
+            for row in pdf.itertuples(index=False):
+                if raw_mode:
+                    px = _decode(bytes(row.bytes), int(row.ncols), int(row.nrows))
+                else:
+                    px = np.asarray(row.px, dtype=np.float64).reshape(
+                        int(row.nrows), int(row.ncols)
+                    )
+                tg = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
+                if fb is not None:
+                    items = [
+                        (int(fb.ids[j]), fb.geom(j))
+                        for j in fb.overlapping(row.xmin, row.ymin, row.xmax, row.ymax)
+                    ]
+                else:
+                    items = []
+                    for ft in row.feats:
+                        gwkb = bytes(ft["geom"])
+                        g = geom_cache.get(gwkb)
+                        if g is None:
+                            g = geom_cache[gwkb] = G.from_wkb(gwkb)
+                        items.append((ft["feature_id"], g))
+                for fid, geom in items:
+                    lens = cell_lengths(tg, geom)
+                    rr, cc = np.nonzero(lens > 0)
+                    if len(rr) == 0:
+                        continue
+                    grow = int(round((raster_ymax - tg.ymax) / tg.dy)) + rr
+                    gcol = int(round((tg.xmin - raster_xmin) / tg.dx)) + cc
+                    outs.append(
+                        (
+                            np.full(len(rr), fid, dtype=np.int64),
+                            px[rr, cc],
+                            lens[rr, cc],
+                            (grow * raster_width + gcol + 1).astype(np.int64),
+                        )
+                    )
+            if outs:
+                cols = list(zip(*outs))
+                yield pd.DataFrame(
+                    {
+                        "feature_id": np.concatenate(cols[0]),
+                        "v": np.concatenate(cols[1]),
+                        "length": np.concatenate(cols[2]),
+                        "cell": np.concatenate(cols[3]),
+                    }
+                )
+
+    return cand.mapInPandas(_kernel, schema)
+
+
 def coverage_fraction_raster(
     values: Raster, features: DataFrame, *, crop: bool = True
 ) -> DataFrame:

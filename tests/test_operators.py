@@ -25,6 +25,33 @@ def meta33(layer="values", tile=3):
                       tile_w=tile, tile_h=tile)
 
 
+def test_line_cell_lengths(spark):
+    # the reference's linear coverage: per-cell traversal length
+    # (raster_cell_intersection.cpp:250-259); diagonal of a 3x3 unit grid
+    # crosses cells (2,0),(1,1),(0,2) with length sqrt(2) each
+    import numpy as np
+
+    from exactextractr_spark.operators.coverage_op import line_cell_lengths_df
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import Raster, RasterMeta
+
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+    r = Raster.from_array(spark, np.arange(1.0, 10.0).reshape(3, 3), meta)
+    feats = features_from_wkt(spark, ["LINESTRING (0 0, 3 3)"])
+    rows = {x["cell"]: x for x in line_cell_lengths_df(r, feats).collect()}
+    # cells (row=2,col=0)->7, (1,1)->5, (0,2)->3; 1-based row-major ids
+    assert sorted(rows) == [3, 5, 7]
+    for cell, want_v in ((3, 3.0), (5, 5.0), (7, 7.0)):
+        assert rows[cell]["v"] == want_v
+        assert rows[cell]["length"] == pytest.approx(np.sqrt(2.0), rel=1e-12)
+    # length-weighted mean over the diagonal = (3+5+7)/3 = 5
+    total = sum(x["v"] * x["length"] for x in rows.values()) / sum(
+        x["length"] for x in rows.values()
+    )
+    assert total == pytest.approx(5.0, rel=1e-12)
+
+
 def test_coverage_fraction_df(spark):
     arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
     r = Raster.from_array(spark, arr, meta33())

@@ -501,6 +501,32 @@ def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineString per-cell traversal lengths (the reference CLI's linear
+    coverage, raster_cell_intersection.cpp:250-259). Horizontal lines at
+    quarter offsets so every per-cell length is a closed-form x-overlap."""
+    _tune(spark)
+    from exactextractr_spark.operators.coverage_op import line_cell_lengths_df
+    from exactextractr_spark.sources.features import prepare_features
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    x0 = ((k * 5) % 31) + F.lit(0.25)
+    x1 = x0 + (k % 7) + F.lit(1.5)
+    y = ((k * 3) % 43) + F.lit(0.5)
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        x0.cast("string"), F.lit(" "), y.cast("string"), F.lit(", "),
+        x1.cast("string"), F.lit(" "), y.cast("string"), F.lit(")"),
+    )
+    feats = prepare_features(
+        nat.select(k.cast("long").alias("feature_id"), wkt.alias("geom")),
+        "feature_id", "geom",
+    )
+    out = line_cell_lengths_df(_synth_raster(spark), feats)
+    return out.select("feature_id", "cell", "v", "length")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (PNG decode not expressible in SQL): decode + feature
     extraction over the synthetic image tile table."""
@@ -552,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint64": _q_fingerprint,
         "image_features_png": _q_image_features,
         "udf_apply": _q_udf_apply,
+        "line_lengths": _q_line_lengths,
     }
 
 
@@ -807,6 +834,27 @@ FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+""",
+        "line_lengths": f"""
+WITH lines AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS feature_id,
+         ((n_nationkey * 5) % 31) + 0.25 AS x0,
+         ((n_nationkey * 5) % 31) + 0.25 + (n_nationkey % 7) + 1.5 AS x1,
+         CAST(47 - ((n_nationkey * 3) % 43) AS BIGINT) AS r
+  FROM nation
+), cols AS (
+  SELECT CAST(i AS BIGINT) AS c FROM range({GRID_N}) t(i)
+), hits AS (
+  SELECT l.feature_id, l.r, cl.c,
+         LEAST(l.x1, cl.c + 1) - GREATEST(l.x0, cl.c) AS length
+  FROM lines l JOIN cols cl
+    ON cl.c + 1 > l.x0 AND cl.c < l.x1
+)
+SELECT feature_id,
+       r * {GRID_N} + c + 1 AS cell,
+       CAST((r * {GRID_N} + c) % 97 AS DOUBLE) AS v,
+       length
+FROM hits WHERE length > 0
 """,
         "udf_apply": _FACTS_CTE + """
 SELECT feature_id,

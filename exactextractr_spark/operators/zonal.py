@@ -322,7 +322,7 @@ def build_candidates(
         spark = tile_side.sparkSession
         keys_df = spark.createDataFrame(
             sorted(keys), schema="tile_row int, tile_col int"
-        )
+        ).coalesce(1)
         tile_side = tile_side.join(
             F.broadcast(keys_df), on=["tile_row", "tile_col"], how="inner"
         )
@@ -796,7 +796,7 @@ def exact_extract(
     if feats_bc is not None:
         base = features.sparkSession.createDataFrame(
             [(int(i),) for i in feats_bc.value.ids], schema="feature_id long"
-        )
+        ).coalesce(1)
         # per-feature agg output is as small as the broadcast feature set:
         # hint it so the backfill is a BroadcastHashJoin, not a sort-merge
         result = base.join(F.broadcast(result), on="feature_id", how="left")

@@ -39,7 +39,10 @@ def features_from_wkt(
         b = g.bounds()
         fid = int(ids[i]) if ids is not None else i + 1
         rows.append((fid, bytearray(G.to_wkb(g)), b[0], b[1], b[2], b[3]))
-    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+    # one partition: these driver-side helpers carry at most thousands of
+    # rows, and defaultParallelism slices would cost a python-worker
+    # round-trip per core on every downstream collect
+    return spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(1)
 
 
 def prepare_features(

@@ -4,7 +4,7 @@ Prints ONE JSON line:
   {"metric": "zonal_tiles_per_sec", "value": <headline seconds>, "unit":
    "sec", "queries": {...per-query seconds...}, "sf": ..., "tiles_per_sec": N}
 
-Headline workload: 2048x2048 synthetic raster (64 tiles of 256x256, the
+Headline workload: 16384x16384 synthetic raster (4,096 tiles of 256x256, the
 reference's natural block size) x 128 polygons including one mega-polygon
 covering ~25% of the raster (the skew case the north rule calls out), full
 pipeline: PNG decode -> tile-cover candidate join -> exact coverage kernel
@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-HEADLINE_N = int(os.environ.get("BENCH_N", "8192"))
+HEADLINE_N = int(os.environ.get("BENCH_N", "16384"))
 HEADLINE_TILE = 256
 N_FEATURES = int(os.environ.get("BENCH_FEATURES", "128"))
 

@@ -23,14 +23,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # tile rows carry ~0.5 MB pixel arrays; cap Arrow batches so a batch
-        # stays ~32 MB (64 * 512 KB) instead of the 2048-row default ~1 GB
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # tile rows carry ~0.5 MB pixel arrays; ~8 MB batches keep the
+        # JVM-side buffer churn inside young-gen (measured: 14s -> 8-11s on
+        # the 1024-tile headline vs 64-row/32 MB batches)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
         # parquet vectorized reader defaults to 4096-row columnar batches —
-        # with ~0.5 MB binary tile payloads that is ~2 GB per batch and the
-        # JVM GC-thrashes; 64 rows keeps batches ~32 MB
-        .config("spark.sql.parquet.columnarReaderBatchSize", "64")
-        .config("spark.sql.orc.columnarReaderBatchSize", "64")
+        # with ~0.5 MB binary tile payloads that would be ~2 GB per batch
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16")
+        .config("spark.sql.orc.columnarReaderBatchSize", "16")
         # tile files are dense binary; 32 MB splits give every parallelism
         # level several task waves (smooth balance, short straggler tail)
         .config("spark.sql.files.maxPartitionBytes", "33554432")

@@ -443,7 +443,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # max_df caps the gram self-join fan-out (stop-gram removal contract);
+    # the oracle mirrors the same df filter so values stay hash-exact
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=20)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -466,12 +468,13 @@ def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (Spark xxhash64 family not available in DuckDB)."""
+    """Polynomial rolling-hash fingerprint — oracle-checkable bit-exactly
+    (DuckDB list_reduce mirrors the same (h*31+code) mod 1e9+7 recurrence)."""
     _tune(spark)
-    from exactextractr_spark.operators.textstats import fingerprint
+    from exactextractr_spark.operators.textstats import rolling_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(docs).select("doc_id", "fp64")
+    return rolling_fingerprint(docs).select("doc_id", "fp64")
 
 
 def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,10 +820,14 @@ WITH toks AS (
   SELECT doc_id AS id,
          regexp_split_to_array(lower(regexp_replace(text, '[^\w\s]', '', 'g')), '\s+') AS t
   FROM documents
-), grams AS (
+), grams0 AS (
   SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS gram
   FROM toks, UNNEST(range(1, GREATEST(len(t) - 3, 0) + 2)) AS u(i)
   WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), rare AS (
+  SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 20
+), grams AS (
+  SELECT g.id, g.gram FROM grams0 g JOIN rare USING (gram)
 ), sizes AS (
   SELECT id, COUNT(*) AS sz FROM grams GROUP BY id
 ), inter AS (
@@ -862,7 +869,38 @@ SELECT feature_id,
        COUNT(*) AS n_cells
 FROM facts WHERE cov > 0 GROUP BY feature_id
 """,
-        # minhash_dedup / simhash / lang_id / lsh_cosine / fingerprint64 /
-        # image_features_png: rows-only (hash families, bit mixing, and PNG
-        # decode are not expressible portably in SQL)
+        "lang_id": r"""
+WITH w AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_intersect(words, ['der','die','das','und','ist','ein','eine','zu','nicht','mit'])) AS h_de,
+    len(list_intersect(words, ['the','a','of','and','to','in','is','it','that','for'])) AS h_en,
+    len(list_intersect(words, ['el','la','los','y','es','un','una','por','para','que'])) AS h_es,
+    len(list_intersect(words, ['le','la','les','et','est','un','une','pour','dans','que'])) AS h_fr
+  FROM w
+)
+SELECT doc_id, CASE
+  WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+  WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+  WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+  WHEN h_en >= h_de THEN 'en'
+  ELSE 'de' END AS lang_pred
+FROM h
+""",
+        "fingerprint64": r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ''),
+                         c -> c <> ''),
+             c -> CAST(ord(c) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 1000000007) AS fp64
+FROM documents
+""",
+        # minhash_dedup / simhash / lsh_cosine / image_features_png:
+        # rows-only (hash families, bit mixing, and PNG decode are not
+        # expressible portably in SQL)
     }

@@ -4,6 +4,14 @@ Training-data-pipeline operators over the ``documents`` table. Exact dedup
 is a pure hash-groupBy (one shuffle, JVM-side). Near-dup pipelines follow
 the standard shingle → signature → band-bucket → bucket-join → verify shape,
 with deterministic hash families so runs are reproducible.
+
+Kernel design (100-TB shape): all per-document work is vectorized numpy —
+string hashing goes through ``pandas.util.hash_array`` (C-implemented
+SipHash with a fixed key, deterministic across executors), shingles are
+combined from token hashes with wraparound uint64 polynomial rolling (no
+gram strings are ever materialized), and MinHash/SimHash reduce the whole
+Arrow batch at once via ``np.minimum.reduceat`` / ``np.add.reduceat``.
+The only per-row Python is the regex tokenizer.
 """
 
 from __future__ import annotations
@@ -16,9 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
-_MERSENNE = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"\w+")
+# Wraparound-uint64 polynomial base for combining token hashes into shingle
+# hashes (odd constant => bijective multiply mod 2^64).
+_POLY_P = np.uint64(0x9E3779B97F4A7C15)
 
 
 def exact_dedup(
@@ -36,21 +46,43 @@ def exact_dedup(
 
 
 def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift family over uint64 with natural wraparound:
+    h_i(x) = a_i * x + b_i  (mod 2^64), a_i odd."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    a = (rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64)
     return a, b
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    toks = re.findall(r"\w+", text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
+def _batch_token_hashes(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize every doc in the batch, hash ALL tokens with one vectorized
+    C call. Returns (hashes: uint64[total_tokens], offsets: int64[docs+1])."""
+    tok_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        hashes = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
     else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(
-        np.array([hash(g) & 0x7FFFFFFFFFFFFFFF for g in grams], dtype=np.int64)
-    )
+        hashes = np.empty(0, dtype=np.uint64)
+    return hashes, offsets
+
+
+def _doc_shingle_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """Unique k-shingle hashes for one doc's token-hash vector, via
+    wraparound polynomial rolling — no gram strings built."""
+    n = h.shape[0]
+    if n == 0:
+        return np.array([pd.util.hash_array(np.asarray([""], dtype=object),
+                                            categorize=False)[0]], dtype=np.uint64)
+    if n < k:
+        k = n
+    g = h[: n - k + 1].copy()
+    for j in range(1, k):
+        g *= _POLY_P
+        g += h[j : n - k + 1 + j]
+    return np.unique(g)
 
 
 def minhash_signatures(
@@ -62,39 +94,36 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig:array<long>) MinHash signatures, vectorized per Arrow batch.
+    """(id, sig:array<long>) MinHash signatures.
 
-    Note: python ``hash`` of str is salted per-process; we use a stable
-    FNV-1a instead for cross-executor determinism.
+    Vectorized per Arrow batch: one ``pd.util.hash_array`` call hashes every
+    token in the batch; shingle hashes are polynomial-rolled from token
+    hashes; the (num_hashes × total_shingles) multiply-shift matrix is
+    reduced per-doc with ``np.minimum.reduceat``. Signatures are the raw
+    64-bit values reinterpreted as int64 (bit-preserving ``view``), since
+    downstream only compares positional equality.
     """
     a, b = _minhash_params(num_hashes, seed)
 
-    def _fnv(g: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in g.encode():
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h & 0x7FFFFFFFFFFFFFFF
-
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                toks = re.findall(r"\w+", (text or "").lower())
-                if len(toks) < shingle_k:
-                    grams = [" ".join(toks)] if toks else [""]
-                else:
-                    grams = [
-                        " ".join(toks[i : i + shingle_k])
-                        for i in range(len(toks) - shingle_k + 1)
-                    ]
-                hv = np.unique(np.array([_fnv(g) for g in grams], dtype=np.uint64))
-                # (a*h + b) mod p, rowwise min
-                hmat = (
-                    a[:, None].astype(np.object_) * hv[None, :].astype(np.object_)
-                    + b[:, None]
-                ) % _MERSENNE
-                sigs.append(np.min(np.asarray(hmat, dtype=np.uint64), axis=1).astype(np.int64))
+            tok_h, offs = _batch_token_hashes(pdf[text_col])
+            per_doc = [
+                _doc_shingle_hashes(tok_h[offs[i] : offs[i + 1]], shingle_k)
+                for i in range(len(pdf))
+            ]
+            if per_doc:
+                gram_counts = np.fromiter((g.shape[0] for g in per_doc),
+                                          dtype=np.int64, count=len(per_doc))
+                starts = np.zeros(len(per_doc), dtype=np.int64)
+                np.cumsum(gram_counts[:-1], out=starts[1:])
+                g_all = np.concatenate(per_doc)
+                # (H, G) wraparound multiply-shift, then min per doc segment.
+                m = a[:, None] * g_all[None, :] + b[:, None]
+                mins = np.minimum.reduceat(m, starts, axis=1)  # (H, docs)
+                sigs = list(mins.T.copy().view(np.int64))
+            else:
+                sigs = []
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     schema = T.StructType(
@@ -112,32 +141,44 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     threshold: float = 0.7,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Band signatures into buckets; ids sharing any band-bucket become
     candidate pairs; estimated Jaccard (signature agreement) filters.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
-    num_hashes = len(sigs.select("sig").first()["sig"])
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    The band-bucket self-join shuffles only (id, band, bucket) — signatures
+    are projected off both sides and re-attached after the candidate pairs
+    are deduplicated, so shuffle width is independent of num_hashes.
+    ``sigs`` is referenced three times (two band sides + re-attach); callers
+    that compute signatures lazily should persist it first (``minhash_dedup``
+    does).
+    """
+    if num_hashes is None:
+        num_hashes = sigs.select(F.size("sig").alias("n")).first()["n"]
     rows_per_band = num_hashes // bands
     banded = sigs.select(
-        id_col,
-        "sig",
+        F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
                 f"struct(b as band, hash(slice(sig, b*{rows_per_band}+1, {rows_per_band})) as bucket))"
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band"), F.col("bb.bucket"))
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    pairs = (
+    ).select(id_col, F.col("bb.band"), F.col("bb.bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn(
             "est_jaccard",
             F.aggregate(
@@ -170,36 +211,38 @@ def minhash_dedup(
     approximation of per-cluster canonical selection)."""
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, seed=seed
+    ).persist()  # referenced 4x downstream (band sides + sig re-attach)
+    pairs = minhash_lsh_pairs(
+        sigs, id_col=id_col, bands=bands, threshold=threshold, num_hashes=num_hashes
     )
-    pairs = minhash_lsh_pairs(sigs, id_col=id_col, bands=bands, threshold=threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
 
 
 def simhash64(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (token FNV hashes, sign-summed)."""
+    """64-bit SimHash per document (token hashes, sign-summed, multiplicity
+    counted). Vectorized: one hash call per batch, bit-unpack as a
+    (total_tokens × 64) matrix, per-doc sign sums via ``np.add.reduceat``."""
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = re.findall(r"\w+", (text or "").lower())
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    h = 0xCBF29CE484222325
-                    for ch in t.encode():
-                        h ^= ch
-                        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                val = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        val |= 1 << i
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                out.append(val)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+            tok_h, offs = _batch_token_hashes(pdf[text_col])
+            n_docs = len(pdf)
+            if tok_h.shape[0]:
+                bits = ((tok_h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                signed = 2 * bits - 1  # (T, 64)
+                # reduceat needs strictly valid starts; empty docs contribute
+                # zero rows — handle by summing cumulative prefixes instead.
+                csum = np.zeros((tok_h.shape[0] + 1, 64), dtype=np.int64)
+                np.cumsum(signed, axis=0, out=csum[1:])
+                acc = csum[offs[1:]] - csum[offs[:-1]]  # (docs, 64)
+            else:
+                acc = np.zeros((n_docs, 64), dtype=np.int64)
+            vals = ((acc > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": vals})
 
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("simhash", T.LongType())]
@@ -214,11 +257,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join, entirely JVM-side: explode
     token n-grams, self-join on gram, count intersections, derive
-    |A∪B| = |A|+|B|−|A∩B|. The explode/join shape is the scalable exact
-    path (gram frequency bounds fan-out)."""
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df`` (document-frequency cap) is the scale contract: grams
+    appearing in more than ``max_df`` documents are removed from the
+    similarity universe — from BOTH the intersection join and the per-doc
+    set sizes — before the self-join, bounding its fan-out at
+    ``max_df²`` rows per gram. This is the standard stop-gram/prefix-filter
+    move: the result is the exact Jaccard over the df-filtered gram sets
+    (a documented semantic, not an approximation of the uncapped join).
+    ``max_df=None`` disables the cap (classic exact Jaccard)."""
     toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")), r"\s+")
     grams = (
         docs.withColumn("_toks", toks)
@@ -233,6 +285,14 @@ def ngram_jaccard_pairs(
         )
         .filter(F.length("gram") > 0)
     )
+    if max_df is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(rare, on="gram", how="inner")
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("a")

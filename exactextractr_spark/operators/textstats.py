@@ -81,3 +81,22 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized text (rolling-hash analog, collision-safe for dedup keys)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.withColumn("fp64", F.xxhash64(norm))
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the character codes of the
+    whitespace-normalized text: ``h = (h*31 + code) mod 1e9+7``. Entirely
+    JVM-side (``aggregate`` over ``split``), and — unlike xxhash64 —
+    expressible verbatim in ANSI SQL, so it is oracle-checkable bit-exactly
+    (DuckDB ``list_reduce`` mirror verified). Use ``fingerprint`` (xxhash64)
+    when collision resistance matters more than auditability."""
+    d = docs.withColumn(
+        "_norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    return d.withColumn(
+        "fp64",
+        F.expr(
+            "aggregate(filter(split(_norm, ''), c -> c <> ''), "
+            "cast(0 as bigint), (h, c) -> (h * 31 + ascii(c)) % 1000000007)"
+        ),
+    ).drop("_norm")

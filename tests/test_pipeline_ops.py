@@ -65,6 +65,48 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    """A ubiquitous stop-gram must not blow up the self-join; with the cap
+    the result is the exact Jaccard over the df-filtered gram universe."""
+    from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the stop-gram "lorem ipsum"; only 1&2 share real grams
+    rows = [
+        (1, "lorem ipsum alpha beta gamma delta"),
+        (2, "lorem ipsum alpha beta gamma zeta"),
+        (3, "lorem ipsum totally unrelated words here"),
+        (4, "lorem ipsum other unrelated material there"),
+        (5, "lorem ipsum more filler nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, n=2, threshold=0.3, max_df=2).collect()}
+    # "lorem ipsum" (df=5) is dropped from the universe; "ipsum alpha"
+    # (df=2) survives; docs 1,2 then share 3 of their 4 remaining grams
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == pytest.approx(3 / 5)
+    assert all(p == (1, 2) for p in capped)
+    # closed-form check that the capped universe is what we claim:
+    # uncapped 1-2 jaccard differs (shares lorem/ipsum grams too)
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()}
+    assert uncapped[(1, 2)] == pytest.approx(4 / 6)
+
+
+def test_minhash_simhash_edge_docs(spark):
+    """Empty and single-token docs flow through the vectorized kernels."""
+    from exactextractr_spark.operators.dedup import minhash_signatures, simhash64
+
+    rows = [(1, ""), (2, "solo"), (3, None), (4, "two tokens")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(docs, num_hashes=16, shingle_k=3).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[3]  # empty and null hash identically
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[1] == 0 and h[3] == 0
+
+
 def test_text_stats(spark, docs):
     from exactextractr_spark.operators.textstats import (
         fingerprint,

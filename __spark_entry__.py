@@ -438,6 +438,24 @@ def _q_resample_misaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freq-stat resample (reference allows any single non-weighted named
+    stat, R/exact_resample.R:44-60): mode by summed fractional coverage per
+    destination cell, ties -> larger value. Fractions are halves (4.5 grid)
+    so coverage sums are dyadic-exact and the argmax is deterministic."""
+    _tune(spark)
+    from exactextractr_spark.operators.resample import exact_resample
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    dst = RasterMeta("d", xmin=0, ymax=GRID_N, dx=4.5, dy=4.5, width=10,
+                     height=10, tile_w=10, tile_h=10)
+    return exact_resample(_synth_raster(spark), dst, "mode").select(
+        F.col("dst_row").cast("long").alias("dst_row"),
+        F.col("dst_col").cast("long").alias("dst_col"),
+        F.col("value").alias("mode_v"),
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from exactextractr_spark.operators.dedup import ngram_jaccard_pairs
@@ -576,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixels_xy": _q_pixels_xy,
         "weighted_frac_long": _q_weighted_frac_long,
         "resample_misaligned": _q_resample_misaligned,
+        "resample_mode": _q_resample_mode,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_cosine": _q_lsh_cosine,
         "fingerprint64": _q_fingerprint,
@@ -814,6 +833,30 @@ WITH cells AS (
 )
 SELECT dr AS dst_row, dc AS dst_col, SUM(v * cov) / SUM(cov) AS mean_v
 FROM rf WHERE cov > 0 GROUP BY dr, dc
+""",
+        "resample_mode": f"""
+WITH cells AS (
+  SELECT CAST(i // {g} AS BIGINT) AS r, CAST(i % {g} AS BIGINT) AS c,
+         CAST(i % 97 AS DOUBLE) AS v
+  FROM range({g * g}) t(i)
+), dst AS (
+  SELECT CAST(i // 10 AS BIGINT) AS dr, CAST(i % 10 AS BIGINT) AS dc
+  FROM range(100) t(i)
+), rf AS (
+  SELECT d.dr, d.dc, cl.v,
+         GREATEST(0, LEAST(cl.c + 1, 4.5 * (d.dc + 1)) - GREATEST(cl.c, 4.5 * d.dc)) *
+         GREATEST(0, LEAST({g} - cl.r, {g} - 4.5 * d.dr) - GREATEST({g} - 1 - cl.r, {g} - 4.5 * (d.dr + 1))) AS cov
+  FROM dst d JOIN cells cl
+    ON cl.c + 1 > 4.5 * d.dc AND cl.c < 4.5 * (d.dc + 1)
+   AND {g} - cl.r > {g} - 4.5 * (d.dr + 1) AND {g} - 1 - cl.r < {g} - 4.5 * d.dr
+), freq AS (
+  SELECT dr, dc, v, SUM(cov) AS sum_c FROM rf WHERE cov > 0 GROUP BY dr, dc, v
+), ranked AS (
+  SELECT dr, dc, v,
+         ROW_NUMBER() OVER (PARTITION BY dr, dc ORDER BY sum_c DESC, v DESC) AS rn
+  FROM freq
+)
+SELECT dr AS dst_row, dc AS dst_col, v AS mode_v FROM ranked WHERE rn = 1
 """,
         "ngram_jaccard": r"""
 WITH toks AS (

@@ -79,6 +79,10 @@ def main(argv=None):
     from pyspark.sql import functions as F
 
     tiles = spark.read.parquet(args.tiles)
+    if args.weight_layer and not args.layer:
+        # without --layer, "whatever tile is first" could silently bind the
+        # value raster to the weight layer's grid/nodata
+        raise SystemExit("--layer is required when --weight-layer is given")
     vtiles = tiles
     if args.layer:
         vtiles = tiles.filter(

@@ -76,6 +76,8 @@ def line_cell_lengths_df(
     raster_width = values.meta.width
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         from ..core.png import decode_tile as _decode
 
         fb = feats_bc.value if feats_bc is not None else None
@@ -90,6 +92,14 @@ def line_cell_lengths_df(
                     px = np.asarray(row.px, dtype=np.float64).reshape(
                         int(row.nrows), int(row.ncols)
                     )
+                # nodata sentinel -> NaN, same contract as the zonal kernel:
+                # a line traversing a nodata cell reports v=NaN, not the raw
+                # sentinel value
+                nodata = getattr(row, "nodata", None)
+                if nodata is not None and not (
+                    isinstance(nodata, float) and _math.isnan(nodata)
+                ):
+                    px = np.where(px == nodata, np.nan, px)
                 tg = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
                 if fb is not None:
                     items = [
@@ -99,6 +109,14 @@ def line_cell_lengths_df(
                 else:
                     items = []
                     for ft in row.feats:
+                        # exact bbox refine (cover join is tile-granular)
+                        if (
+                            ft["fxmin"] >= row.xmax
+                            or ft["fxmax"] <= row.xmin
+                            or ft["fymin"] >= row.ymax
+                            or ft["fymax"] <= row.ymin
+                        ):
+                            continue
                         gwkb = bytes(ft["geom"])
                         g = geom_cache.get(gwkb)
                         if g is None:

@@ -79,8 +79,15 @@ def knn_points(
         .bitwiseOR(iy),
     )
 
+    # Round loop invariant: ``topk`` is a MATERIALIZED (localCheckpoint)
+    # per-query running top-k — at most |queries| * k rows. Each round's
+    # ring join therefore executes exactly once; later rounds never re-run
+    # earlier rounds' joins (no lineage growth), and the completion test is
+    # a groupBy aggregate over the bounded topk table, not a window over an
+    # ever-growing union.
     remaining = queries
-    gathered: DataFrame | None = None
+    topk: DataFrame | None = None
+    w = Window.partitionBy("qid").orderBy("dist", "pid")
     prev_r = -1
     for round_i in range(max_rounds):
         radius = min(2**round_i, n)
@@ -100,27 +107,31 @@ def knn_points(
                     (F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2
                 ),
             )
-            .select("qid", "qx", "qy", "pid", "dist")
+            .select("qid", "pid", "dist")
         )
-        gathered = hits if gathered is None else gathered.unionByName(hits)
-        # a query is done when its k-th best distance fits inside the ring
-        # radius already searched (guarantees no closer point outside)
+        merged = hits if topk is None else topk.unionByName(hits)
+        topk = (
+            merged.dropDuplicates(["qid", "pid"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "pid", "dist")
+            .localCheckpoint(eager=True)
+        )
+        # a query is done when it holds k candidates whose worst distance
+        # fits inside the ring radius already searched (guarantees no
+        # closer point outside); plain aggregate — no window
         safe = min(radius * min(cell_w, cell_h), 1e300)
-        w = Window.partitionBy("qid").orderBy("dist")
-        ranked = gathered.withColumn("rank", F.row_number().over(w))
-        kth = ranked.filter(F.col("rank") == k).select(
-            "qid", F.col("dist").alias("_kth")
+        done_ids = (
+            topk.groupBy("qid")
+            .agg(F.count("*").alias("_n"), F.max("dist").alias("_kth"))
+            .filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(safe)))
+            .select("qid")
         )
-        done_ids = kth.filter(F.col("_kth") <= F.lit(safe)).select("qid")
         remaining = remaining.join(done_ids, on="qid", how="left_anti")
         prev_r = radius
         if radius >= n or remaining.isEmpty():
             break
 
-    w = Window.partitionBy("qid").orderBy("dist", "pid")
-    return (
-        gathered.dropDuplicates(["qid", "pid"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "pid", "dist", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "pid", "dist", "rank"
     )

@@ -32,15 +32,27 @@ _FACTS = T.StructType(
     ]
 )
 
-_SUPPORTED = {"sum", "mean", "count", "min", "max"}
+#: the reference accepts any single non-weighted named stat
+#: (R/exact_resample.R:44-60); quantile takes q via the ``q`` kwarg
+_SUPPORTED = {
+    "sum", "mean", "count", "min", "max",
+    "variance", "stdev", "coefficient_of_variation",
+    "mode", "majority", "minority", "variety",
+    "median", "quantile",
+}
 
 
 def exact_resample(
-    src: Raster, dst_meta: RasterMeta, stat: str = "mean"
+    src: Raster, dst_meta: RasterMeta, stat: str = "mean", *, q: float = 0.5
 ) -> DataFrame:
     """Returns (dst_row, dst_col, value) for destination cells with any
     source coverage. Single unweighted stat, like the reference
-    (R/exact_resample.R:41-48)."""
+    (R/exact_resample.R:41-69): algebraic stats aggregate the overlap
+    facts directly; freq stats (mode/minority/variety) are struct-min/max
+    aggregates over the per-cell value-frequency table (ties resolved
+    exactly like the zonal path: mode→larger value, minority→smaller);
+    median/quantile use the same exact weighted interpolation kernel as
+    zonal quantiles."""
     if stat not in _SUPPORTED:
         raise ValueError(f"stat {stat!r} not supported for resample")
 
@@ -123,9 +135,56 @@ def exact_resample(
                 yield pd.concat(outs, ignore_index=True)
 
     facts = src.tiles.mapInPandas(_facts, _FACTS)
-    g = facts.groupBy("dst_row", "dst_col")
     c = F.col("cov")
     v = F.col("v")
+
+    if stat in ("mode", "majority", "minority", "variety"):
+        # per-destination-cell value-frequency table; the freq weight is the
+        # total coverage each value contributes (raster_stats.h:176-230)
+        freq = facts.groupBy("dst_row", "dst_col", "v").agg(
+            F.sum(c).alias("sum_c")
+        )
+        g = freq.groupBy("dst_row", "dst_col")
+        if stat in ("mode", "majority"):
+            # struct ordering = (sum_c, v): max picks highest coverage,
+            # ties -> larger value (same rule as the zonal freq path)
+            agg = F.max(F.struct("sum_c", "v"))["v"]
+        elif stat == "minority":
+            agg = F.min(F.struct("sum_c", "v"))["v"]
+        else:  # variety
+            agg = F.count("v").cast("double")
+        return g.agg(agg.alias("value"))
+
+    if stat in ("median", "quantile"):
+        from ..core.quantiles import weighted_quantile
+
+        qv = 0.5 if stat == "median" else float(q)
+        freq = facts.groupBy("dst_row", "dst_col", "v").agg(
+            F.sum(c).alias("sum_c")
+        )
+        schema = T.StructType(
+            [
+                T.StructField("dst_row", T.IntegerType()),
+                T.StructField("dst_col", T.IntegerType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+        def _q(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = weighted_quantile(
+                pdf["v"].to_numpy(), pdf["sum_c"].to_numpy(), [qv]
+            )
+            return pd.DataFrame(
+                {
+                    "dst_row": [pdf["dst_row"].iloc[0]],
+                    "dst_col": [pdf["dst_col"].iloc[0]],
+                    "value": [res[0]],
+                }
+            )
+
+        return freq.groupBy("dst_row", "dst_col").applyInPandas(_q, schema)
+
+    g = facts.groupBy("dst_row", "dst_col")
     if stat == "sum":
         agg = F.sum(v * c)
     elif stat == "mean":
@@ -134,6 +193,17 @@ def exact_resample(
         agg = F.sum(c)
     elif stat == "min":
         agg = F.min(v)
-    else:
+    elif stat == "max":
         agg = F.max(v)
+    else:
+        # coverage-weighted population moments (raster_stats.h:115-137)
+        mean = F.sum(v * c) / F.sum(c)
+        var = F.sum(v * v * c) / F.sum(c) - mean * mean
+        var = F.greatest(var, F.lit(0.0))  # guard fp cancellation
+        if stat == "variance":
+            agg = var
+        elif stat == "stdev":
+            agg = F.sqrt(var)
+        else:  # coefficient_of_variation
+            agg = F.sqrt(var) / mean
     return g.agg(agg.alias("value"))

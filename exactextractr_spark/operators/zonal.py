@@ -281,19 +281,19 @@ def build_candidates(
             ),
             None,
         )
-    # single-shot collect (a limit().collect() costs 2-3 incremental-limit
-    # jobs); feature tables too large to land on the driver should pass
-    # broadcast_features=False for the cover-join strategy
-    rows = feats.select(
-        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
-    ).collect()
-    if len(rows) > BROADCAST_FEATURE_LIMIT:
+    # guard BEFORE collecting: a count() is a column-pruned aggregate (no
+    # geometry bytes move), so a 10M-feature table falls back to the
+    # distributed cover join without ever landing WKBs on the driver
+    if feats.count() > BROADCAST_FEATURE_LIMIT:
         return (
             candidate_pairs(
                 values, feats, broadcast_features=True, salt_buckets=salt_buckets
             ),
             None,
         )
+    rows = feats.select(
+        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
+    ).collect()
     fb = FeatureBroadcast(rows)
     tile_side = values.raw_meta
     if tile_side is None:
@@ -312,12 +312,14 @@ def build_candidates(
         tr1 = max(0, min(m.n_tile_rows - 1, int((m.ymax - fb.fymin[i]) // step_y)))
         tc0 = max(0, min(m.n_tile_cols - 1, int((fb.fxmin[i] - m.xmin) // step_x)))
         tc1 = max(0, min(m.n_tile_cols - 1, int((fb.fxmax[i] - m.xmin) // step_x)))
+        # bail out on the SPAN before enumerating: one raster-blanketing
+        # polygon on a 10^12-tile grid must not build the cross product
+        if len(keys) + (tr1 - tr0 + 1) * (tc1 - tc0 + 1) > cap:
+            blanket = True
+            break
         for tr in range(tr0, tr1 + 1):
             for tc in range(tc0, tc1 + 1):
                 keys.add((tr, tc))
-        if len(keys) > cap:
-            blanket = True
-            break
     if not blanket and len(keys) < m.n_tile_rows * m.n_tile_cols:
         spark = tile_side.sparkSession
         keys_df = spark.createDataFrame(
@@ -699,13 +701,16 @@ def exact_extract(
     broadcast_features: bool = True,
     salt_buckets: int = 1,
     append_cols: "DataFrame | None" = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Named-stats path of the reference API (R/exact_extract.R:270-773).
 
     ``features`` must have (feature_id, geom, fxmin..fymax) — see
     ``sources.features.prepare_features``. ``weights`` may be a second
     Raster or the string ``'area'`` (cell-area weighting,
-    R/exact_extract_helpers.R:154-160).
+    R/exact_extract_helpers.R:154-160). ``sort=False`` skips the final
+    global orderBy — at scale that is one avoidable full sort; pass False
+    whenever downstream consumers don't need feature_id order.
     """
     if isinstance(stats, str):
         stats = [stats]
@@ -760,11 +765,14 @@ def exact_extract(
 
     if plan.freq:
         # one kernel pass; everything (algebraic included) derives exactly
-        # from the merged value-frequency table
+        # from the merged value-frequency table. The freq table is consumed
+        # once per requested freq-stat piece (mode + minority + quantile +
+        # frac each reference it), so persist it — it is tiny (features ×
+        # distinct values) and saves a full kernel re-scan per piece.
         partials = coverage_facts(cand, emit="freq", **kernel_kwargs)
         freq_df = partials.groupBy("feature_id", "v").agg(
             F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw")
-        )
+        ).persist()
         if plan.algebraic:
             agg_df = freq_df.groupBy("feature_id").agg(
                 *plan.algebraic_aggs_from_freq()
@@ -811,7 +819,7 @@ def exact_extract(
         result = result.fillna(fill)
     if append_cols is not None:
         result = result.join(append_cols, on="feature_id", how="left")
-    return result.orderBy("feature_id")
+    return result.orderBy("feature_id") if sort else result
 
 
 def exact_extract_pixels(
@@ -835,6 +843,14 @@ def exact_extract_pixels(
     disagg = (1, 1)
     if weights is not None:
         wg, vg = weights.meta.grid, values.meta.grid
+        # same grid-compatibility contract as exact_extract (ref
+        # grid.h:219-282): a misaligned/non-integer-ratio weight grid must
+        # raise, not silently sample wrong cells
+        if not vg.compatible_with(wg):
+            raise ValueError(
+                "weights grid is not compatible with the value grid "
+                "(resolutions must be integer multiples, origins aligned)"
+            )
         if wg.dx < vg.dx or wg.dy < vg.dy:
             disagg = (int(round(vg.dx / wg.dx)), int(round(vg.dy / wg.dy)))
         cand = _attach_weights(cand, values, weights)

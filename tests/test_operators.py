@@ -175,3 +175,105 @@ def test_multi_tile_resample_unaligned(spark):
     out = exact_resample(Raster.from_array(spark, arr, src_meta), dst_meta, "sum")
     total = sum(r["value"] for r in out.collect())
     assert total == pytest.approx(arr.sum(), rel=1e-9)
+
+
+def test_large_feature_table_skips_driver_collect(spark, monkeypatch):
+    """Above BROADCAST_FEATURE_LIMIT, build_candidates must route to the
+    distributed cover join WITHOUT collecting geometries to the driver."""
+    from exactextractr_spark.operators import zonal
+    from exactextractr_spark.sources.features import features_from_wkt
+
+    arr = np.arange(1.0, 37.0).reshape(6, 6)
+    meta = RasterMeta("v", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                      tile_w=3, tile_h=3)
+    r = Raster.from_array(spark, arr, meta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))",
+                "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))",
+                "POLYGON ((1 4, 2 4, 2 5, 1 5, 1 4))"]
+    )
+    monkeypatch.setattr(zonal, "BROADCAST_FEATURE_LIMIT", 2)
+    from pyspark.sql import DataFrame as SparkDF
+
+    real_collect = SparkDF.collect
+
+    def guarded_collect(self):
+        assert "geom" not in self.columns, (
+            "geometries were collected to the driver on the cover-join path"
+        )
+        return real_collect(self)
+
+    monkeypatch.setattr(SparkDF, "collect", guarded_collect)
+    cand, fb = zonal.build_candidates(r, feats)
+    assert fb is None  # cover-join strategy chosen
+    monkeypatch.setattr(SparkDF, "collect", real_collect)
+    out = {row["feature_id"]: row for row in
+           zonal.exact_extract(r, feats, ["mean", "sum", "count"],
+                               broadcast_features=True).collect()}
+    # same goldens as the broadcast path (strategy equivalence)
+    assert out[1]["mean"] == pytest.approx(26.0)
+    assert out[1]["sum"] == pytest.approx(104.0)
+    assert out[1]["count"] == pytest.approx(4.0)
+
+
+def test_blanket_feature_spans_trigger_early_bailout(spark):
+    """A raster-spanning polygon must trip the blanket fallback from its
+    SPAN (before enumerating tile keys): tile_side comes back unfiltered —
+    the identical DataFrame object, no IN-set join built."""
+    from exactextractr_spark.operators import zonal
+    from exactextractr_spark.sources.features import features_from_wkt
+
+    arr = np.zeros((40, 40)) + 7.0
+    meta = RasterMeta("v", xmin=0, ymax=40, dx=1, dy=1, width=40, height=40,
+                      tile_w=4, tile_h=4)  # 100 tiles, cap = 64
+    r = Raster.from_array(spark, arr, meta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((-1 -1, 41 -1, 41 41, -1 41, -1 -1))"])
+    tile_side, fb = zonal.build_candidates(r, feats)
+    assert fb is not None
+    # blanket bail-out: returned frame IS the raw/meta frame, not a join
+    assert "Join" not in tile_side._jdf.queryExecution().logical().toString()
+
+
+def test_resample_full_stat_surface(spark):
+    """Freq + dispersion stats through exact_resample (reference allows any
+    single non-weighted named stat, R/exact_resample.R:44-60). 4x4 source
+    blocks aggregate to one dst cell each -> closed-form goldens."""
+    arr = np.zeros((8, 8))
+    arr[:4, :4] = [[1, 1, 2, 3]] * 4        # dst (0,0): mode 1, minority 2*
+    arr[:4, 4:] = 5.0                        # dst (0,1): constant
+    arr[4:, :4] = np.arange(16).reshape(4, 4)  # dst (1,0): 0..15
+    arr[4:, 4:] = [[2, 2, 7, 7]] * 4        # dst (1,1): tie 2 vs 7
+    meta = RasterMeta("v", xmin=0, ymax=8, dx=1, dy=1, width=8, height=8,
+                      tile_w=8, tile_h=8)
+    src = Raster.from_array(spark, arr, meta)
+    dst = RasterMeta("d", xmin=0, ymax=8, dx=4, dy=4, width=2, height=2,
+                     tile_w=2, tile_h=2)
+
+    def grid(stat, **kw):
+        return {(r["dst_row"], r["dst_col"]): r["value"]
+                for r in exact_resample(src, dst, stat, **kw).collect()}
+
+    mode = grid("mode")
+    assert mode[(0, 0)] == 1.0           # 1 covers 8 cells vs 4/4
+    assert mode[(1, 1)] == 7.0           # tie 8v8 -> larger value
+    minority = grid("minority")
+    assert minority[(0, 0)] in (2.0, 3.0) and minority[(0, 0)] == 2.0  # tie -> smaller
+    variety = grid("variety")
+    assert variety[(0, 0)] == 3.0 and variety[(0, 1)] == 1.0 and variety[(1, 0)] == 16.0
+    var = grid("variance")
+    block = np.arange(16)
+    assert var[(1, 0)] == pytest.approx(block.var())
+    assert var[(0, 1)] == pytest.approx(0.0)
+    sd = grid("stdev")
+    assert sd[(1, 0)] == pytest.approx(block.std())
+    cv = grid("coefficient_of_variation")
+    assert cv[(1, 0)] == pytest.approx(block.std() / block.mean())
+    med = grid("median")
+    assert med[(0, 1)] == pytest.approx(5.0)
+    q25 = grid("quantile", q=0.25)
+    assert q25[(0, 1)] == pytest.approx(5.0)
+    # median of uniform weights over 0..15 (weighted interpolation)
+    from exactextractr_spark.core.quantiles import weighted_quantile
+    want = weighted_quantile(block.astype(float), np.ones(16), [0.5])[0]
+    assert med[(1, 0)] == pytest.approx(want)

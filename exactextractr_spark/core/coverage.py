@@ -222,10 +222,27 @@ def coverage_fraction_ring(grid: Grid, ring: np.ndarray) -> np.ndarray:
     return out
 
 
+def reject_mixed_collection(geom: Geometry) -> None:
+    """The reference refuses GeometryCollections mixing areal and linear
+    elements (raster_cell_intersection.cpp:121-142) — coverage semantics
+    would be ambiguous. Raise the same way instead of silently using only
+    the polygons."""
+    if (
+        geom.kind == "GeometryCollection"
+        and geom.polygons()
+        and geom.linestrings()
+    ):
+        raise ValueError(
+            "GeometryCollection mixes areal and linear elements; "
+            "supply polygons and linestrings separately"
+        )
+
+
 def coverage_fraction(grid: Grid, geom: Geometry) -> np.ndarray:
     """Per-cell covered fraction in [0, 1] for a (Multi)Polygon /
     GeometryCollection. Exterior rings add |cov|, holes subtract
     (ref raster_cell_intersection.cpp:308-310, 423-431)."""
+    reject_mixed_collection(geom)
     out = np.zeros((grid.nrows, grid.ncols), dtype=np.float64)
     for rings in geom.polygons():
         for i, ring in enumerate(rings):
@@ -262,6 +279,7 @@ def rect_coverage(grid: Grid, box: Box) -> np.ndarray:
 def cell_lengths(grid: Grid, geom: Geometry) -> np.ndarray:
     """Per-cell traversal length for LineStrings — the reference's linear
     analog of coverage (raster_cell_intersection.cpp:250-259)."""
+    reject_mixed_collection(geom)
     nrows, ncols = grid.nrows, grid.ncols
     out = np.zeros((nrows, ncols), dtype=np.float64)
     for line in geom.linestrings():

@@ -274,6 +274,24 @@ def build_candidates(
     - raster-sequential / cover join (huge feature table): returns
       ``(joined_df_with_feats_lists, None)``.
     """
+    # CRS reconciliation: the reference auto-transforms the polygons to the
+    # raster CRS with a warning (R/exact_extract.R:360-377); transforms are
+    # out of scope here, so a declared mismatch fails loudly instead of
+    # producing silently wrong answers on misaligned coordinates.
+    if "crs" in feats.columns and values.meta.crs:
+        fcrs = [
+            r[0]
+            for r in feats.select("crs").distinct().collect()
+            if r[0] not in (None, "")
+        ]
+        bad = [c for c in fcrs if c != values.meta.crs]
+        if bad:
+            raise ValueError(
+                f"feature CRS {bad[0]!r} does not match the raster CRS "
+                f"{values.meta.crs!r}; transform the features to the raster "
+                "CRS first (the reference transforms automatically with a "
+                "warning, R/exact_extract.R:360-377)"
+            )
     if not broadcast_features:
         return (
             candidate_pairs(

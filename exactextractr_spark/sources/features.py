@@ -30,9 +30,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def features_from_wkt(
-    spark: SparkSession, wkts: Sequence[str], ids: Sequence[int] | None = None
+    spark: SparkSession,
+    wkts: Sequence[str],
+    ids: Sequence[int] | None = None,
+    crs: str | None = None,
 ) -> DataFrame:
-    """Small driver-side helper (tests / API parity with sf input)."""
+    """Small driver-side helper (tests / API parity with sf input).
+    ``crs`` (optional) stamps a crs column; zonal operators then verify it
+    against the raster CRS and fail loudly on mismatch."""
     rows = []
     for i, wkt in enumerate(wkts):
         g = G.from_wkt(wkt)
@@ -42,14 +47,20 @@ def features_from_wkt(
     # one partition: these driver-side helpers carry at most thousands of
     # rows, and defaultParallelism slices would cost a python-worker
     # round-trip per core on every downstream collect
-    return spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(1)
+    out = spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(1)
+    if crs is not None:
+        out = out.withColumn("crs", F.lit(crs))
+    return out
 
 
 def prepare_features(
-    df: DataFrame, id_col: str = "feature_id", geom_col: str = "geom"
+    df: DataFrame, id_col: str = "feature_id", geom_col: str = "geom",
+    crs: str | None = None,
 ) -> DataFrame:
     """Normalize an arbitrary feature DataFrame: parse WKB (binary column)
-    or WKT (string column) and attach bbox columns, Arrow-batched."""
+    or WKT (string column) and attach bbox columns, Arrow-batched.
+    ``crs`` (optional) declares the features' CRS for the loud-mismatch
+    check in the zonal operators."""
     is_wkt = dict(df.dtypes)[geom_col] in ("string",)
 
     def _prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -72,4 +83,7 @@ def prepare_features(
             )
             yield out
 
-    return df.select(id_col, geom_col).mapInPandas(_prep, FEATURE_SCHEMA)
+    out = df.select(id_col, geom_col).mapInPandas(_prep, FEATURE_SCHEMA)
+    if crs is not None:
+        out = out.withColumn("crs", F.lit(crs))
+    return out

@@ -99,3 +99,109 @@ def test_dense_coverage_crop_and_full(spark):
     dense2 = coverage_fraction_raster(r, far, crop=False).collect()
     assert len(dense2) == 1
     assert np.array(dense2[0]["cov_px"]).sum() == 0.0
+
+
+def test_summarize_df_combined_frame(spark):
+    """stack_apply=FALSE / summarize_df: ONE frame per feature with a
+    column per layer (ref R/exact_extract.R:585-721, goldens shaped like
+    test_exact_extract.R:652-721)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from exactextractr_spark.operators.stack import summarize_df, summarize_df_pixels
+
+    arr_a = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    arr_b = 2 * arr_a
+    a = Raster.from_array(spark, arr_a, meta33("a"))
+    b = Raster.from_array(spark, arr_b, meta33("b"))
+    feats = features_from_wkt(spark, [SQ_WKT])
+
+    px = summarize_df_pixels([a, b], feats).toPandas()
+    assert {"feature_id", "a", "b", "coverage_fraction"} <= set(px.columns)
+    # layer b is exactly 2x layer a, cell-aligned
+    assert np.allclose(px["b"], 2 * px["a"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["coverage_fraction"]
+        return pd.DataFrame(
+            {
+                "feature_id": [pdf["feature_id"].iloc[0]],
+                "wmean_a": [(pdf["a"] * c).sum() / c.sum()],
+                "wmean_b": [(pdf["b"] * c).sum() / c.sum()],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("feature_id", T.LongType()),
+            T.StructField("wmean_a", T.DoubleType()),
+            T.StructField("wmean_b", T.DoubleType()),
+        ]
+    )
+    row = summarize_df([a, b], feats, fn, schema).collect()[0]
+    ref = exact_extract(a, feats, ["mean"]).collect()[0]["mean"]
+    assert row["wmean_a"] == pytest.approx(ref)
+    assert row["wmean_b"] == pytest.approx(2 * ref)
+
+
+def test_summarize_df_grid_mismatch_raises(spark):
+    from exactextractr_spark.operators.stack import summarize_df_pixels
+
+    a = Raster.from_array(spark, np.ones((3, 3)), meta33("a"))
+    off = RasterMeta(layer="b", xmin=0.5, ymax=3, dx=1, dy=1, width=3, height=3,
+                     tile_w=3, tile_h=3)
+    b = Raster.from_array(spark, np.ones((3, 3)), off)
+    feats = features_from_wkt(spark, [SQ_WKT])
+    with pytest.raises(ValueError, match="one grid"):
+        summarize_df_pixels([a, b], feats)
+
+
+def test_colname_fun(spark):
+    """Custom column naming (ref R/exact_extract.R:288)."""
+    a = Raster.from_array(spark, np.arange(1, 10, dtype=np.float64).reshape(3, 3),
+                          meta33("a"))
+    b = Raster.from_array(spark, np.ones((3, 3)), meta33("b"))
+    feats = features_from_wkt(spark, [SQ_WKT])
+
+    def namer(fun_name, values, weights, fun_value, nvalues, nweights):
+        return f"{values}__{fun_name}"
+
+    df = exact_extract_stack([a, b], feats, ["mean"], colname_fun=namer)
+    assert set(df.columns) == {"feature_id", "a__mean", "b__mean"}
+
+
+def test_mixed_geometry_collection_rejected(spark):
+    """Reference errors on GCs mixing areal+linear
+    (raster_cell_intersection.cpp:121-142)."""
+    from exactextractr_spark.core.coverage import coverage_fraction
+    from exactextractr_spark.core.geom import from_wkt
+    from exactextractr_spark.core.grid import Grid
+
+    gc = from_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "LINESTRING (0 0, 3 3))"
+    )
+    with pytest.raises(ValueError, match="areal and linear"):
+        coverage_fraction(Grid(0, 0, 3, 3, 1, 1), gc)
+    # end-to-end through the kernel
+    feats = features_from_wkt(
+        spark,
+        ["GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+         "LINESTRING (0 0, 3 3))"],
+    )
+    r = Raster.from_array(spark, np.ones((3, 3)), meta33("v"))
+    with pytest.raises(Exception, match="areal and linear"):
+        exact_extract(r, feats, ["count"]).collect()
+
+
+def test_crs_mismatch_fails_loudly(spark):
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:3857")
+    meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3, crs="EPSG:4326")
+    r = Raster.from_array(spark, np.ones((3, 3)), meta)
+    with pytest.raises(ValueError, match="does not match the raster CRS"):
+        exact_extract(r, feats, ["count"])
+    # matching CRS passes through
+    ok = features_from_wkt(spark, [SQ_WKT], crs="EPSG:4326")
+    got = exact_extract(r, ok, ["count"]).collect()[0]["count"]
+    assert got == pytest.approx(4.0)

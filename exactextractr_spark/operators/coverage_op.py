@@ -173,7 +173,18 @@ def coverage_fraction_raster(
     if crop:
         cand = candidate_pairs(values, features)
     else:
-        # cross every feature with every tile (0-filled outside)
+        # cross every feature with every tile (0-filled outside). Output is
+        # inherently |features| x |tiles| — quadratic by DEFINITION of
+        # crop=FALSE, so refuse feature sets where that product is a mistake
+        # rather than silently launching it (the reference only ever does
+        # this one feature at a time, R/coverage_fraction.R:17-79).
+        n_feats = features.count()
+        if n_feats > 1000:
+            raise ValueError(
+                f"coverage_fraction(crop=False) with {n_feats} features "
+                "would emit a dense (feature x tile) product; use "
+                "crop=True (sparse) or restrict the feature set"
+            )
         all_keys = values.raw_meta if values.raw_meta is not None else values.tiles
         import pyspark.sql.functions as F
 

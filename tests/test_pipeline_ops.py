@@ -272,3 +272,52 @@ def test_streaming_ingest(spark, tmp_path):
     assert out.count() == 4
     total = out.select(F.explode("px").alias("p")).agg(F.sum("p")).collect()[0][0]
     assert total == pytest.approx(arr.sum())
+
+
+def test_streaming_zonal_matches_batch(spark, tmp_path):
+    """Incremental tiles through stream_zonal_stats == batch exact_extract
+    over the same tiles (moments are mergeable; state merge is exact)."""
+    from exactextractr_spark.operators.zonal import exact_extract
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import (
+        Raster,
+        RasterMeta,
+        tile_table_from_array,
+    )
+    from exactextractr_spark.streaming.zonal_stream import stream_zonal_stats
+
+    arr = np.arange(1.0, 145.0).reshape(12, 12)
+    meta = RasterMeta("v", xmin=0, ymax=12, dx=1, dy=1, width=12, height=12,
+                      tile_w=4, tile_h=4)
+    tiles = tile_table_from_array(spark, arr, meta)
+    src = str(tmp_path / "src")
+    # two file chunks -> at least two micro-batches with maxFilesPerTrigger=1
+    tr = F.get_json_object("caption", "$.tile_row").cast("int")
+    tiles.filter(tr < 2).coalesce(1).write.mode("append").parquet(src)
+    tiles.filter(tr >= 2).coalesce(1).write.mode("append").parquet(src)
+    feats = features_from_wkt(
+        spark,
+        ["POLYGON ((0.5 0.5, 8.5 0.5, 8.5 8.5, 0.5 8.5, 0.5 0.5))",
+         "POLYGON ((6 6, 11 6, 11 11, 6 11, 6 6))"],
+    )
+    stats = ["count", "sum", "mean", "min", "max", "stdev"]
+    q = stream_zonal_stats(
+        spark, src, feats, stats, meta=meta,
+        checkpoint_dir=str(tmp_path / "ck"), query_name="zs_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {r["feature_id"]: r.asDict()
+           for r in spark.table("zs_test").collect()}
+    want = {r["feature_id"]: r.asDict()
+            for r in exact_extract(Raster.from_tiles(tiles, meta), feats,
+                                   stats).collect()}
+    assert set(got) == set(want)
+    for fid in want:
+        for s in stats:
+            assert got[fid][s] == pytest.approx(want[fid][s], rel=1e-12), (fid, s)
+
+    # freq stats must refuse to stream
+    with pytest.raises(ValueError, match="algebraic"):
+        stream_zonal_stats(spark, src, feats, ["median"], meta=meta,
+                           checkpoint_dir=str(tmp_path / "ck2"))

@@ -548,6 +548,40 @@ def _q_line_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("feature_id", "cell", "v", "length")
 
 
+def _q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named stats over LineStrings, length-weighted (reference CLI linear
+    semantics): mean/sum/count/mode over the same closed-form lines as
+    line_lengths — the oracle aggregates the identical length facts."""
+    _tune(spark)
+    from exactextractr_spark.operators.coverage_op import exact_extract_lines
+    from exactextractr_spark.sources.features import prepare_features
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    x0 = ((k * 5) % 31) + F.lit(0.25)
+    x1 = x0 + (k % 7) + F.lit(1.5)
+    y = ((k * 3) % 43) + F.lit(0.5)
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        x0.cast("string"), F.lit(" "), y.cast("string"), F.lit(", "),
+        x1.cast("string"), F.lit(" "), y.cast("string"), F.lit(")"),
+    )
+    feats = prepare_features(
+        nat.select(k.cast("long").alias("feature_id"), wkt.alias("geom")),
+        "feature_id", "geom",
+    )
+    out = exact_extract_lines(
+        _synth_raster(spark), feats, ["mean", "sum", "count", "mode"]
+    )
+    return out.select(
+        "feature_id",
+        F.col("mean").alias("lmean"),
+        F.col("sum").alias("lsum"),
+        F.col("count").alias("lcount"),
+        F.col("mode").alias("lmode"),
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (PNG decode not expressible in SQL): decode + feature
     extraction over the synthetic image tile table."""
@@ -601,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_png": _q_image_features,
         "udf_apply": _q_udf_apply,
         "line_lengths": _q_line_lengths,
+        "line_stats": _q_line_stats,
     }
 
 
@@ -905,6 +940,38 @@ SELECT feature_id,
        CAST((r * {GRID_N} + c) % 97 AS DOUBLE) AS v,
        length
 FROM hits WHERE length > 0
+""",
+        "line_stats": f"""
+WITH lines AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS feature_id,
+         ((n_nationkey * 5) % 31) + 0.25 AS x0,
+         ((n_nationkey * 5) % 31) + 0.25 + (n_nationkey % 7) + 1.5 AS x1,
+         CAST(47 - ((n_nationkey * 3) % 43) AS BIGINT) AS r
+  FROM nation
+), cols AS (
+  SELECT CAST(i AS BIGINT) AS c FROM range({GRID_N}) t(i)
+), hits AS (
+  SELECT l.feature_id,
+         CAST((l.r * {GRID_N} + cl.c) % 97 AS DOUBLE) AS v,
+         LEAST(l.x1, cl.c + 1) - GREATEST(l.x0, cl.c) AS length
+  FROM lines l JOIN cols cl
+    ON cl.c + 1 > l.x0 AND cl.c < l.x1
+), facts AS (
+  SELECT * FROM hits WHERE length > 0
+), freq AS (
+  SELECT feature_id, v, SUM(length) AS sum_c FROM facts GROUP BY feature_id, v
+), md AS (
+  SELECT feature_id, v,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY sum_c DESC, v DESC) AS rn
+  FROM freq
+)
+SELECT a.feature_id,
+       SUM(a.v * a.length) / SUM(a.length) AS lmean,
+       SUM(a.v * a.length) AS lsum,
+       SUM(a.length) AS lcount,
+       MAX(m.v) AS lmode
+FROM facts a JOIN md m ON m.feature_id = a.feature_id AND m.rn = 1
+GROUP BY a.feature_id
 """,
         "udf_apply": _FACTS_CTE + """
 SELECT feature_id,

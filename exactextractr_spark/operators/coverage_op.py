@@ -151,6 +151,68 @@ def line_cell_lengths_df(
     return cand.mapInPandas(_kernel, schema)
 
 
+def exact_extract_lines(
+    values: Raster,
+    features: DataFrame,
+    stats: "list[str] | str",
+    *,
+    quantiles: "list[float] | None" = None,
+    broadcast_features: bool = True,
+    sort: bool = True,
+) -> DataFrame:
+    """Named stats for LineString features — the reference CLI accepts
+    linear geometries and weights every stat by the traversal LENGTH in
+    each cell instead of the covered fraction (raster_cell_intersection.
+    cpp:250-259; the R API refuses lines, the CLI does not).
+
+    All non-weighted named stats are supported (mean = Σ v·len / Σ len,
+    count = Σ len, mode = argmax of summed length per value, median/
+    quantile = length-weighted interpolation…). Raster-weighted stats are
+    refused — the reference has no weighted linear path either."""
+    from pyspark.sql import functions as F
+
+    from ..plans.stats import StatsPlan
+
+    if isinstance(stats, str):
+        stats = [stats]
+    plan = StatsPlan(stats, quantiles or [])
+    if plan.needs_weights:
+        raise ValueError(
+            f"stats {sorted(set(stats) )} are weighted; linear features "
+            "have no weighted path (length IS the weight)"
+        )
+    facts = line_cell_lengths_df(
+        values, features, broadcast_features=broadcast_features
+    )
+    # NA-skip contract: nodata cells traversed by the line contribute
+    # nothing (same as areal stats ignoring NaN values)
+    facts = facts.filter(F.col("v").isNotNull() & ~F.isnan("v"))
+    freq = facts.groupBy("feature_id", "v").agg(
+        F.sum("length").alias("sum_c"), F.sum("length").alias("sum_cw")
+    )
+    result: DataFrame | None = None
+    if plan.algebraic:
+        agg_df = freq.groupBy("feature_id").agg(*plan.algebraic_aggs_from_freq())
+        fcols = plan.finalize_columns()
+        result = agg_df.select(
+            "feature_id", *[fcols[s].alias(s) for s in plan.algebraic]
+        )
+    if plan.freq:
+        from .zonal import _freq_stats
+
+        freq = freq.persist()
+        fr = _freq_stats(plan, freq)
+        result = fr if result is None else result.join(fr, "feature_id", "full")
+    base = features.select("feature_id")
+    result = base.join(F.broadcast(result), on="feature_id", how="left")
+    fill = {s: 0.0 for s in ("count", "sum") if s in result.columns}
+    if "variety" in result.columns:
+        fill["variety"] = 0
+    if fill:
+        result = result.fillna(fill)
+    return result.orderBy("feature_id") if sort else result
+
+
 def coverage_fraction_raster(
     values: Raster, features: DataFrame, *, crop: bool = True
 ) -> DataFrame:

@@ -277,3 +277,35 @@ def test_resample_full_stat_surface(spark):
     from exactextractr_spark.core.quantiles import weighted_quantile
     want = weighted_quantile(block.astype(float), np.ones(16), [0.5])[0]
     assert med[(1, 0)] == pytest.approx(want)
+
+
+def test_exact_extract_lines_stats(spark):
+    """Named stats over LineStrings: length-weighted (reference CLI linear
+    semantics, raster_cell_intersection.cpp:250-259)."""
+    from exactextractr_spark.operators.coverage_op import exact_extract_lines
+    from exactextractr_spark.sources.features import features_from_wkt
+
+    arr = np.arange(9, dtype=np.float64).reshape(3, 3)
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+    r = Raster.from_array(spark, arr, meta)
+    # horizontal line through the middle row (y=1.5): cells 3,4,5 each 1.0
+    feats = features_from_wkt(spark, ["LINESTRING (0 1.5, 3 1.5)",
+                                      "LINESTRING (0.5 2.5, 1.5 2.5)"])
+    out = {row["feature_id"]: row.asDict() for row in
+           exact_extract_lines(r, feats,
+                               ["mean", "sum", "count", "min", "max",
+                                "mode", "median", "variety"]).collect()}
+    assert out[1]["count"] == pytest.approx(3.0)
+    assert out[1]["sum"] == pytest.approx(3 + 4 + 5)
+    assert out[1]["mean"] == pytest.approx(4.0)
+    assert out[1]["min"] == 3.0 and out[1]["max"] == 5.0
+    assert out[1]["variety"] == 3
+    assert out[1]["median"] == pytest.approx(4.0)
+    # feature 2: half a cell in 0, half in 1 -> mode tie -> larger value
+    assert out[2]["count"] == pytest.approx(1.0)
+    assert out[2]["mean"] == pytest.approx(0.5)
+    assert out[2]["mode"] == 1.0
+    # weighted stats refused
+    with pytest.raises(ValueError, match="weighted"):
+        exact_extract_lines(r, feats, ["weighted_mean"])

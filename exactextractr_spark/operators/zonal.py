@@ -340,9 +340,19 @@ def build_candidates(
                 keys.add((tr, tc))
     if not blanket and len(keys) < m.n_tile_rows * m.n_tile_cols:
         spark = tile_side.sparkSession
+        # pandas/Arrow path => a true LocalTableScan: a python-list
+        # createDataFrame becomes a 32-slice python RDD whose first
+        # materialization costs one python-worker round-trip PER SLICE
+        # (measured ~4s of pure overhead per fresh query plan)
+        ks = sorted(keys)
         keys_df = spark.createDataFrame(
-            sorted(keys), schema="tile_row int, tile_col int"
-        ).coalesce(1)
+            pd.DataFrame(
+                {
+                    "tile_row": pd.Series([k[0] for k in ks], dtype="int32"),
+                    "tile_col": pd.Series([k[1] for k in ks], dtype="int32"),
+                }
+            )
+        )
         tile_side = tile_side.join(
             F.broadcast(keys_df), on=["tile_row", "tile_col"], how="inner"
         )
@@ -820,9 +830,13 @@ def exact_extract(
     # In broadcast mode the ids are already on the driver: a LocalRelation
     # avoids re-scanning the feature source (one fewer job per query).
     if feats_bc is not None:
+        # pandas/Arrow => LocalTableScan (no python-RDD slices; see
+        # build_candidates for the measured per-plan cost of the list path)
         base = features.sparkSession.createDataFrame(
-            [(int(i),) for i in feats_bc.value.ids], schema="feature_id long"
-        ).coalesce(1)
+            pd.DataFrame(
+                {"feature_id": pd.Series(feats_bc.value.ids, dtype="int64")}
+            )
+        )
         # per-feature agg output is as small as the broadcast feature set:
         # hint it so the backfill is a BroadcastHashJoin, not a sort-merge
         result = base.join(F.broadcast(result), on="feature_id", how="left")

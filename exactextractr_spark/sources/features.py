@@ -44,10 +44,20 @@ def features_from_wkt(
         b = g.bounds()
         fid = int(ids[i]) if ids is not None else i + 1
         rows.append((fid, bytearray(G.to_wkb(g)), b[0], b[1], b[2], b[3]))
-    # one partition: these driver-side helpers carry at most thousands of
-    # rows, and defaultParallelism slices would cost a python-worker
-    # round-trip per core on every downstream collect
-    out = spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(1)
+    # pandas/Arrow conversion => a LocalTableScan: no python-RDD slices, so
+    # downstream collects never round-trip python workers (a list-based
+    # createDataFrame costs one worker round-trip PER SLICE per fresh plan)
+    pdf = pd.DataFrame(
+        {
+            "feature_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "geom": [bytes(r[1]) for r in rows],
+            "fxmin": pd.Series([r[2] for r in rows], dtype="float64"),
+            "fymin": pd.Series([r[3] for r in rows], dtype="float64"),
+            "fxmax": pd.Series([r[4] for r in rows], dtype="float64"),
+            "fymax": pd.Series([r[5] for r in rows], dtype="float64"),
+        }
+    )
+    out = spark.createDataFrame(pdf, FEATURE_SCHEMA)
     if crs is not None:
         out = out.withColumn("crs", F.lit(crs))
     return out

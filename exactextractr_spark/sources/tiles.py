@@ -188,7 +188,24 @@ def tile_rows_from_array(arr: np.ndarray, meta: RasterMeta) -> list[tuple]:
 def tile_table_from_array(
     spark: SparkSession, arr: np.ndarray, meta: RasterMeta
 ) -> DataFrame:
-    return spark.createDataFrame(tile_rows_from_array(arr, meta), TILE_SCHEMA)
+    # pandas/Arrow conversion => a LocalTableScan; a python-list
+    # createDataFrame would become a defaultParallelism-slice python RDD
+    # whose every materialization round-trips a python worker per slice
+    import pandas as pd
+
+    rows = tile_rows_from_array(arr, meta)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [r[0] for r in rows],
+            "bytes": [bytes(r[1]) for r in rows],
+            "w": pd.Series([r[2] for r in rows], dtype="int32"),
+            "h": pd.Series([r[3] for r in rows], dtype="int32"),
+            "fmt": [r[4] for r in rows],
+            "caption": [r[5] for r in rows],
+            "phash": pd.Series([r[6] for r in rows], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf, TILE_SCHEMA)
 
 
 def decode_tiles(tiles: DataFrame, layer: str | None = None) -> DataFrame:

@@ -485,6 +485,20 @@ def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (trained coarse quantizer not expressible in SQL): IVF ANN
+    — k-means inverted lists, nprobe-bounded candidate join, exact re-rank."""
+    _tune(spark)
+    from exactextractr_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_cosine_topk(emb, queries, 10, n_centroids=16, nprobe=4)
+    return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprint — oracle-checkable bit-exactly
     (DuckDB list_reduce mirrors the same (h*31+code) mod 1e9+7 recurrence)."""
@@ -493,6 +507,62 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return rolling_fingerprint(docs).select("doc_id", "fp64")
+
+
+def _q_image_resize_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal preprocessing: decode -> bilinear 2x downsample ->
+    re-encode per tile image, then decode the output and emit pixels.
+    Exact oracle: a 2x bilinear downsample (align_corners=False) lands every
+    sample at wx=wy=0.5, so each output pixel is the 2x2 block MEAN of the
+    source — dyadic-exact, expressible as a closed form over the synthetic
+    (cell % 97) field."""
+    _tune(spark)
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from exactextractr_spark.operators.multimodal import image_resize
+
+    tiles = _synth_raster(spark)._raw  # 3x3 tiles of 16x16
+    half = TILE // 2
+    resized = image_resize(tiles, half, half)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from exactextractr_spark.core.png import decode_tile
+
+        for pdf in batches:
+            out = []
+            for iid, data, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                arr = decode_tile(bytes(data), int(w), int(h))
+                ii, jj = np.mgrid[0 : int(h), 0 : int(w)]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": iid,
+                            "i": ii.ravel().astype(np.int64),
+                            "j": jj.ravel().astype(np.int64),
+                            "px": arr.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return resized.mapInPandas(_decode, schema)
 
 
 def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,11 +701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mode": _q_resample_mode,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_cosine": _q_lsh_cosine,
+        "ivf_cosine": _q_ivf_cosine,
         "fingerprint64": _q_fingerprint,
         "image_features_png": _q_image_features,
         "udf_apply": _q_udf_apply,
         "line_lengths": _q_line_lengths,
         "line_stats": _q_line_stats,
+        "image_resize_px": _q_image_resize_px,
     }
 
 
@@ -978,6 +1050,22 @@ SELECT feature_id,
        SUM(v * cov) / SUM(cov) AS wmean,
        COUNT(*) AS n_cells
 FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "image_resize_px": f"""
+WITH tiles AS (
+  SELECT CAST(k // 3 AS BIGINT) AS tr, CAST(k % 3 AS BIGINT) AS tc
+  FROM range(9) t(k)
+), cells AS (
+  SELECT CAST(m // {TILE // 2} AS BIGINT) AS i, CAST(m % {TILE // 2} AS BIGINT) AS j
+  FROM range({(TILE // 2) * (TILE // 2)}) u(m)
+)
+SELECT 'v/' || tr || '/' || tc AS image_id, i, j,
+       ( CAST(((tr*{TILE} + 2*i    ) * {GRID_N} + tc*{TILE} + 2*j    ) % 97 AS DOUBLE)
+       + CAST(((tr*{TILE} + 2*i    ) * {GRID_N} + tc*{TILE} + 2*j + 1) % 97 AS DOUBLE)
+       + CAST(((tr*{TILE} + 2*i + 1) * {GRID_N} + tc*{TILE} + 2*j    ) % 97 AS DOUBLE)
+       + CAST(((tr*{TILE} + 2*i + 1) * {GRID_N} + tc*{TILE} + 2*j + 1) % 97 AS DOUBLE)
+       ) / 4.0 AS px
+FROM tiles, cells
 """,
         "lang_id": r"""
 WITH w AS (

@@ -1,10 +1,11 @@
-"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+"""Embedding similarity search: brute-force cosine top-k + LSH and IVF ANN.
 
 Training-data-pipeline operators over an ``array<float>`` embedding column.
 Brute force is the exactness baseline (JVM-side ``aggregate``/``zip_with``
-arithmetic — no Python in the hot path); the scale path buckets vectors by
-deterministic random-hyperplane signs (SimHash for vectors) so the join
-fans out per bucket instead of per pair.
+arithmetic — no Python in the hot path); the scale paths bound the join
+fan-out either by deterministic random-hyperplane sign buckets (LSH) or by
+a trained coarse quantizer (IVF: k-means centroids, items partitioned by
+nearest centroid, queries probe their ``nprobe`` nearest lists).
 """
 
 from __future__ import annotations
@@ -126,6 +127,96 @@ def lsh_cosine_topk(
             ).alias("cos_sim"),
         )
         .dropDuplicates(["qid", "item_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "item_id", "cos_sim", "rank")
+    )
+
+
+def train_ivf_centroids(
+    items: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a driver-side sample
+    (the standard FAISS recipe — training is tiny relative to the corpus;
+    at 100 TB you sample ~10^5 vectors, not the table). Deterministic."""
+    rows = items.select(vec_col).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: items partitioned into inverted lists by nearest centroid
+    (one shuffle key per item); each query probes its ``nprobe`` nearest
+    lists; exact cosine re-rank within the probed lists. The candidate join
+    is an equi-join on the list id — fan-out is |items|·nprobe/n_centroids
+    per query, independent of corpus size per partition. Recall grows with
+    nprobe (nprobe == n_centroids degrades to exact brute force)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(items, n_centroids, vec_col=vec_col, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, C.shape[0])
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int32)
+        for i, v in enumerate(vecs):
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            out[i] = int(np.argmax(C @ (x / n if n else x)))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            sims = C @ (x / n if n else x)
+            out.append([int(c) for c in np.argsort(-sims)[:nprobe]])
+        return pd.Series(out)
+
+    it = items.withColumn("_list", nearest_list(F.col(vec_col)))
+    qq = queries.select(
+        F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_list", F.explode(probe_lists(F.col("_qvec"))))
+    cand = it.join(qq, on="_list").select(
+        "qid",
+        F.col(id_col).alias("item_id"),
+        (
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("item_id"))
     return (

@@ -321,3 +321,92 @@ def test_streaming_zonal_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="algebraic"):
         stream_zonal_stats(spark, src, feats, ["median"], meta=meta,
                            checkpoint_dir=str(tmp_path / "ck2"))
+
+
+def _wav_bytes(samples: np.ndarray, sr: int, channels: int = 1) -> bytes:
+    """Minimal PCM16 RIFF/WAVE writer for tests."""
+    import struct
+
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, channels, sr, sr * channels * 2, channels * 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def test_audio_features_wav(spark):
+    """Real WAV-PCM decode (pure numpy RIFF parser): sine-wave goldens."""
+    from exactextractr_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    amp = 0.5
+    sine = amp * np.sin(2 * np.pi * 100 * t)  # 100 Hz
+    stereo = np.stack([sine, sine], axis=1).ravel()
+    rows = [
+        ("mono", _wav_bytes(sine, sr), "wav"),
+        ("stereo", _wav_bytes(stereo, sr, channels=2), "wav"),
+    ]
+    df = spark.createDataFrame(rows, "image_id: string, bytes: binary, fmt: string")
+    got = {r["audio_id"]: r.asDict() for r in audio_features(df).collect()}
+    for key in ("mono", "stereo"):
+        r = got[key]
+        assert r["sample_rate"] == sr
+        assert r["duration_s"] == pytest.approx(0.5)
+        assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+        assert r["peak"] == pytest.approx(amp, rel=1e-3)
+        # 100 Hz sine crosses zero 2*100 times/sec
+        assert r["zcr"] == pytest.approx(200 / sr, rel=0.05)
+
+    bad = spark.createDataFrame(
+        [("x", b"\x00" * 64, "mp3")], "image_id: string, bytes: binary, fmt: string"
+    )
+    with pytest.raises(Exception, match="audio decoder"):
+        audio_features(bad).collect()
+
+
+def test_image_resize_bilinear_exact_on_linear_field(spark):
+    """Bilinear resampling reproduces a linear field exactly (closed form),
+    and output re-encodes as valid float-packed PNG."""
+    from exactextractr_spark.core.png import decode_tile
+    from exactextractr_spark.operators.multimodal import image_resize
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    i, j = np.mgrid[0:16, 0:16]
+    arr = (i + 2.0 * j).astype(np.float64)
+    meta = RasterMeta("img", xmin=0, ymax=16, dx=1, dy=1, width=16, height=16,
+                      tile_w=16, tile_h=16)
+    tiles = tile_table_from_array(spark, arr, meta)
+    out = image_resize(tiles, 8, 8).collect()
+    assert len(out) == 1 and out[0]["w"] == 8 and out[0]["h"] == 8
+    px = decode_tile(bytes(out[0]["bytes"]), 8, 8)
+    ii, jj = np.mgrid[0:8, 0:8]
+    want = (2 * ii + 0.5) + 2.0 * (2 * jj + 0.5)
+    assert np.allclose(px, want), (px[0, :3], want[0, :3])
+
+
+def test_ivf_cosine_recall(spark):
+    from exactextractr_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(items, queries, 5).collect()
+    approx = ivf_cosine_topk(items, queries, 5, n_centroids=8, nprobe=3).collect()
+    exact_set = {(r["qid"], r["item_id"]) for r in exact}
+    approx_set = {(r["qid"], r["item_id"]) for r in approx}
+    assert all((q, q) in approx_set for q in range(3))  # self always found
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # nprobe == n_centroids degrades to exact brute force
+    full = ivf_cosine_topk(items, queries, 5, n_centroids=8, nprobe=8).collect()
+    assert {(r["qid"], r["item_id"]) for r in full} == exact_set

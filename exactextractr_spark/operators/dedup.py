@@ -293,6 +293,10 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(rare, on="gram", how="inner")
+    # grams feeds three consumers (both self-join sides + sizes); one persist
+    # after the df-filter measured fastest (persisting the raw gram table too
+    # doubles the cache-store cost for no win at any scale tested)
+    grams = grams.persist()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("a")

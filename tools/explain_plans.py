@@ -68,10 +68,35 @@ def main():
             "— visible in the Project node, not a Python UDF).",
         ),
         "ngram_jaccard": (
-            "Exact n-gram Jaccard similarity join",
+            "Exact n-gram Jaccard similarity join (df-capped)",
             "Entirely JVM-side: explode distinct n-grams (higher-order "
-            "transform/slice functions, whole-stage codegen), self-equi-join "
-            "on gram, two aggregations. No Python anywhere.",
+            "transform/slice functions, whole-stage codegen), document-"
+            "frequency filter join (max_df stop-gram cap bounds the "
+            "self-join fan-out at df^2 per gram), self-equi-join on gram, "
+            "two aggregations. No Python anywhere; InMemoryTableScan on "
+            "the filtered gram table (one tokenize pass for three "
+            "consumers).",
+        ),
+        "minhash_dedup": (
+            "MinHash + LSH near-dup dedup",
+            "Signature kernel is one mapInPandas (vectorized SipHash + "
+            "multiply-shift, persisted: referenced by both band sides and "
+            "the re-attach); the band-bucket self-join shuffles only "
+            "(id, band, bucket) — signature arrays are projected off "
+            "before the exchange and re-attached after candidate dedup.",
+        ),
+        "image_resize_px": (
+            "Multimodal decode->resize->re-encode",
+            "Two mapInPandas stages over one LocalTableScan of the image "
+            "table — no shuffle at all: resize and decode are per-image "
+            "map work, the 100-TB shape is embarrassingly parallel.",
+        ),
+        "line_stats": (
+            "LineString named stats (length-weighted)",
+            "Line kernel emits per-(feature, cell) length facts; the stat "
+            "algebra is the shared freq machinery: groupBy(fid, v) partial+"
+            "final aggregation, struct-ordering argmax for mode — shuffle "
+            "scales with distinct values, not traversed cells.",
         ),
         "dedup_exact": (
             "Exact dedup",

@@ -388,6 +388,32 @@ def _q_zonal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stack_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stats as zonal_stack but with both layers in ONE tile table —
+    exercises the single-scan multi-layer fast path (one kernel pass,
+    moments tagged by layer, pivot). Values identical to zonal_stack, so
+    the same closed-form oracle applies."""
+    _tune(spark)
+    from exactextractr_spark.operators.stack import exact_extract_stack
+    from exactextractr_spark.sources.tiles import Raster
+
+    va = _synth_raster(spark)
+    vw = _synth_raster(spark, weights=True)
+    shared = va._raw.unionByName(vw._raw)
+    ra = Raster.from_tiles(shared, va.meta)
+    rw = Raster.from_tiles(shared, vw.meta)
+    df = exact_extract_stack(
+        [ra, rw], _synth_features(spark, sf_dir), ["mean", "max"]
+    )
+    return df.select(
+        "feature_id",
+        F.col("`mean.v`").alias("mean_v"),
+        F.col("`max.v`").alias("max_v"),
+        F.col("`mean.w`").alias("mean_w"),
+        F.col("`max.w`").alias("max_w"),
+    )
+
+
 def _q_pixels_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract_pixels
@@ -695,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "zonal_area_weighted": _q_zonal_area_weighted,
         "zonal_stack": _q_zonal_stack,
+        "zonal_stack_shared": _q_zonal_stack_shared,
         "pixels_xy": _q_pixels_xy,
         "weighted_frac_long": _q_weighted_frac_long,
         "resample_misaligned": _q_resample_misaligned,
@@ -897,6 +924,14 @@ SELECT feature_id,
 FROM facts WHERE cov > 0 GROUP BY feature_id
 """,
         "zonal_stack": _FACTS_CTE + """
+SELECT feature_id,
+       SUM(v * cov) / SUM(cov) AS mean_v,
+       MAX(v) AS max_v,
+       SUM(w * cov) / SUM(cov) AS mean_w,
+       MAX(w) AS max_w
+FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_stack_shared": _FACTS_CTE + """
 SELECT feature_id,
        SUM(v * cov) / SUM(cov) AS mean_v,
        MAX(v) AS max_v,

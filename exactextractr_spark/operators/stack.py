@@ -52,6 +52,12 @@ def exact_extract_stack(
     nweights) -> str`` overriding the default naming entirely."""
     if isinstance(stats, str):
         stats = [stats]
+    single = _stack_single_pass(
+        values, features, stats, weights=weights,
+        full_colnames=full_colnames, colname_fun=colname_fun, **kwargs,
+    )
+    if single is not None:
+        return single
     pairs = _recycle(values, weights)
     multi = len(pairs) > 1
     out: DataFrame | None = None
@@ -78,6 +84,106 @@ def exact_extract_stack(
         for old, new in renames.items():
             df = df.withColumnRenamed(old, new)
         out = df if out is None else out.join(df, on="feature_id", how="full")
+    return out.orderBy("feature_id")
+
+
+def _stack_single_pass(
+    values: "list[Raster]",
+    features: DataFrame,
+    stats: "list[str]",
+    *,
+    weights=None,
+    full_colnames: bool = False,
+    colname_fun=None,
+    **kwargs,
+) -> "DataFrame | None":
+    """Single-scan fast path for the layer loop: when all value layers live
+    in the SAME raw tile table on one grid (the Iceberg multi-layer shape),
+    run the coverage kernel ONCE over all layers' tiles (each moments row
+    tagged with its layer) and pivot — N layers cost one table scan instead
+    of N. Returns None when preconditions don't hold (weights, freq stats,
+    heterogenous sources/grids, non-default strategy kwargs) and the caller
+    falls back to the per-layer loop."""
+    import pandas as pd
+
+    from ..plans.stats import StatsPlan
+    from ..sources.tiles import raw_tiles_with_meta
+    from .zonal import FeatureBroadcast, coverage_facts
+
+    if weights is not None or kwargs or len(values) < 2:
+        return None
+    v0 = values[0]
+    if v0._raw is None or any(r._raw is not v0._raw for r in values[1:]):
+        return None
+    g0 = v0.meta.grid
+    for r in values[1:]:
+        g = r.meta.grid
+        if (g.dx, g.dy, g.xmin, g.ymax) != (g0.dx, g0.dy, g0.xmin, g0.ymax):
+            return None
+    plan = StatsPlan(stats, [])
+    if plan.freq or plan.needs_weights:
+        return None
+
+    layers = [r.meta.layer for r in values]
+    tiles = raw_tiles_with_meta(v0._raw).filter(F.col("layer").isin(layers))
+    rows = features.select(
+        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
+    ).collect()
+    if len(rows) > 200_000:
+        return None
+    spark = features.sparkSession
+    fb = FeatureBroadcast(rows)
+    feats_bc = spark.sparkContext.broadcast(fb)
+    moments = coverage_facts(
+        tiles, emit="moments", feats_bc=feats_bc, values_meta=v0.meta,
+        by_layer=True,
+    )
+    agg = moments.groupBy("feature_id", "layer").agg(
+        *plan.algebraic_aggs_from_moments()
+    )
+    fin = plan.finalize_columns()
+    per_layer = agg.select(
+        "feature_id", "layer", *[fin[s].alias(s) for s in plan.algebraic]
+    )
+    piv = per_layer.groupBy("feature_id").pivot("layer", layers).agg(
+        *[F.first(s).alias(s) for s in stats]
+    )
+    # pivot names columns "{layer}_{stat}"; apply the reference's naming
+    renames = {}
+    for lay, r in zip(layers, values):
+        for s in stats:
+            src = f"{lay}_{s}" if len(stats) > 1 else lay
+            if colname_fun is not None:
+                name = colname_fun(
+                    fun_name=s, values=lay, weights=None, fun_value=s,
+                    nvalues=len(values), nweights=0,
+                )
+            else:
+                name = f"{s}.{lay}"
+            renames[src] = name
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    base = spark.createDataFrame(
+        pd.DataFrame({"feature_id": pd.Series(fb.ids, dtype="int64")})
+    )
+    out = base.join(F.broadcast(piv), on="feature_id", how="left")
+    fill = {}
+    for c in out.columns:
+        stat = c.split(".")[0]
+        if stat in ("count", "sum", "weighted_count", "weighted_sum"):
+            fill[c] = 0.0
+        elif stat == "variety":
+            fill[c] = 0
+    if fill:
+        # fillna can't address dotted column names; coalesce with backticks
+        out = out.select(
+            *[
+                F.coalesce(F.col(f"`{c}`"), F.lit(fill[c])).alias(c)
+                if c in fill
+                else F.col(f"`{c}`")
+                for c in out.columns
+            ]
+        )
     return out.orderBy("feature_id")
 
 

@@ -460,6 +460,7 @@ def coverage_facts(
     emit: str = "pixels",
     feats_bc=None,
     disagg: "tuple[int, int]" = (1, 1),
+    by_layer: bool = False,
 ) -> DataFrame:
     """Run the exact coverage kernel per (feature, tile) row.
 
@@ -637,19 +638,22 @@ def coverage_facts(
                         cw = covv * w
                         vc = v * covv
                         vcw = v * cw
-                        outs.append(
-                            (
-                                feature_id,
-                                covv.sum(),
-                                vc.sum(),
-                                (v * vc).sum(),
-                                cw.sum(),
-                                vcw.sum(),
-                                (v * vcw).sum(),
-                                v.min(),
-                                v.max(),
-                            )
+                        moments_tuple = (
+                            covv.sum(),
+                            vc.sum(),
+                            (v * vc).sum(),
+                            cw.sum(),
+                            vcw.sum(),
+                            (v * vcw).sum(),
+                            v.min(),
+                            v.max(),
                         )
+                        if by_layer:
+                            # multi-layer single pass: tag with this tile
+                            # row's layer so one scan serves every layer
+                            outs.append((feature_id, row.layer) + moments_tuple)
+                        else:
+                            outs.append((feature_id,) + moments_tuple)
                         continue
                     if emit == "freq":
                         uv, inv = np.unique(v, return_inverse=True)
@@ -682,16 +686,15 @@ def coverage_facts(
                 # arrays), not a pandas concat of per-pair frames
                 if emit == "moments":
                     cols = list(zip(*outs))
-                    yield pd.DataFrame(
-                        {
-                            _out_cols[0]: np.asarray(cols[0], dtype=np.int64),
-                            **{
-                                name: np.asarray(cols[i], dtype=np.float64)
-                                for i, name in enumerate(_out_cols)
-                                if i > 0
-                            },
-                        }
-                    )
+                    data = {_out_cols[0]: np.asarray(cols[0], dtype=np.int64)}
+                    for i, name in enumerate(_out_cols):
+                        if i == 0:
+                            continue
+                        if name == "layer":
+                            data[name] = list(cols[i])
+                        else:
+                            data[name] = np.asarray(cols[i], dtype=np.float64)
+                    yield pd.DataFrame(data)
                 else:
                     cols = list(zip(*outs))
                     yield pd.DataFrame(
@@ -703,6 +706,11 @@ def coverage_facts(
 
     if emit == "moments":
         schema = MOMENTS_SCHEMA
+        if by_layer:
+            schema = T.StructType(
+                [schema.fields[0], T.StructField("layer", T.StringType())]
+                + list(schema.fields[1:])
+            )
     elif emit == "freq":
         schema = FREQ_SCHEMA
     else:

@@ -205,3 +205,52 @@ def test_crs_mismatch_fails_loudly(spark):
     ok = features_from_wkt(spark, [SQ_WKT], crs="EPSG:4326")
     got = exact_extract(r, ok, ["count"]).collect()[0]["count"]
     assert got == pytest.approx(4.0)
+
+
+def test_stack_single_pass_equivalence(spark):
+    """Multi-layer single-scan fast path (one kernel pass, moments tagged by
+    layer, pivot) must equal the per-layer loop bit-for-bit."""
+    from exactextractr_spark.operators import stack as stack_mod
+    from exactextractr_spark.sources.tiles import tile_table_from_array
+
+    arr_a = np.arange(1, 37, dtype=np.float64).reshape(6, 6)
+    arr_b = np.sqrt(arr_a) * 3.0
+    meta_a = RasterMeta("a", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    meta_b = RasterMeta("b", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    shared = tile_table_from_array(spark, arr_a, meta_a).unionByName(
+        tile_table_from_array(spark, arr_b, meta_b)
+    )
+    ra = Raster.from_tiles(shared, meta_a)
+    rb = Raster.from_tiles(shared, meta_b)
+    assert ra._raw is shared and rb._raw is shared
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))",
+                "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"]  # outside
+    )
+    stats = ["mean", "sum", "count", "min", "max"]
+    fast = stack_mod._stack_single_pass(
+        [ra, rb], feats, stats, weights=None, full_colnames=False,
+        colname_fun=None,
+    )
+    assert fast is not None  # preconditions hold -> fast path taken
+    got = {r["feature_id"]: r.asDict() for r in fast.collect()}
+
+    # force the per-layer loop by separate raw tables
+    ra2 = Raster.from_array(spark, arr_a, meta_a)
+    rb2 = Raster.from_array(spark, arr_b, meta_b)
+    want = {r["feature_id"]: r.asDict() for r in
+            exact_extract_stack([ra2, rb2], feats, stats).collect()}
+    assert set(got) == set(want) == {1, 2}
+    for fid in want:
+        assert set(got[fid]) == set(want[fid]), (set(got[fid]), set(want[fid]))
+        for c in want[fid]:
+            gv, wv = got[fid][c], want[fid][c]
+            if wv is None or (isinstance(wv, float) and np.isnan(wv)):
+                assert gv is None or np.isnan(gv), (fid, c, gv, wv)
+            else:
+                assert gv == pytest.approx(wv, rel=1e-12), (fid, c, gv, wv)
+    # and the public API auto-detects the shared table
+    auto = exact_extract_stack([ra, rb], feats, stats)
+    assert {r["feature_id"]: r.asDict() for r in auto.collect()} == got

@@ -241,8 +241,20 @@ def reject_mixed_collection(geom: Geometry) -> None:
 def coverage_fraction(grid: Grid, geom: Geometry) -> np.ndarray:
     """Per-cell covered fraction in [0, 1] for a (Multi)Polygon /
     GeometryCollection. Exterior rings add |cov|, holes subtract
-    (ref raster_cell_intersection.cpp:308-310, 423-431)."""
+    (ref raster_cell_intersection.cpp:308-310, 423-431).
+
+    A purely linear/point geometry raises (the reference refuses
+    non-polygonal features on the areal path,
+    test_exact_extract_errors.R:38-45); genuinely empty geometries yield
+    all-zero coverage (the feature keeps its NA row downstream)."""
     reject_mixed_collection(geom)
+    if not geom.polygons() and (
+        geom.linestrings() or geom.kind in ("Point", "MultiPoint")
+    ):
+        raise ValueError(
+            f"geometry of kind {geom.kind!r} is not polygonal; areal stats "
+            "need polygons — use exact_extract_lines for linear features"
+        )
     out = np.zeros((grid.nrows, grid.ncols), dtype=np.float64)
     for rings in geom.polygons():
         for i, ring in enumerate(rings):

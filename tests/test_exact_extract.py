@@ -331,3 +331,81 @@ def test_area_weights(spark, r19, sq):
         exact_extract(r19, sq, ["weighted_mean", "mean"], weights="area")
     )
     assert got["weighted_mean"] == pytest.approx(got["mean"])
+
+
+def test_z_polygon_sum_golden(spark):
+    """POLYGON Z over the 5x5 1..25 raster: sum == 70.5 through both the
+    named-stat (C++) path and the pixel (R-function) path
+    (test_exact_extract.R:654-662, github issue #26)."""
+    arr = np.arange(1, 26, dtype=np.float64).reshape(5, 5)
+    meta = RasterMeta("v", xmin=0, ymax=5, dx=1, dy=1, width=5, height=5,
+                      tile_w=5, tile_h=5)
+    r = Raster.from_array(spark, arr, meta)
+    feats = features_from_wkt(
+        spark, ["POLYGON Z ((1 1 0, 4 1 0, 4 4 0, 1 1 0))"])
+    assert one_row(exact_extract(r, feats, ["sum"]))["sum"] == pytest.approx(70.5)
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    px = exact_extract_pixels(r, feats).collect()
+    assert sum(p["value"] * p["coverage_fraction"] for p in px) == pytest.approx(70.5)
+
+
+def test_polygon_straddling_raster_edge_clips(spark):
+    """Portions outside the raster are ignored; surviving cells carry the
+    correct world coordinates and 1-based cell ids
+    (test_exact_extract.R:270-289, scaled down)."""
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    arr = np.arange(1, 37, dtype=np.float64).reshape(6, 6)
+    meta = RasterMeta("v", xmin=-3, ymax=3, dx=1, dy=1, width=6, height=6,
+                      tile_w=3, tile_h=3)
+    r = Raster.from_array(spark, arr, meta)
+    # rectangle half past the right edge, one cell tall
+    feats = features_from_wkt(spark, ["POLYGON ((2.5 0, 3.5 0, 3.5 1, 2.5 1, 2.5 0))"])
+    rows = exact_extract_pixels(
+        r, feats, include_xy=True, include_cell=True
+    ).collect()
+    # only the in-raster half-column of cells survives: x = 2.75 is outside;
+    # covered cell centers at x=2.5, y=0.5 (row 2, col 5)
+    assert len(rows) == 1
+    p = rows[0]
+    assert p["x"] == pytest.approx(2.5) and p["y"] == pytest.approx(0.5)
+    assert p["cell"] == 2 * 6 + 5 + 1
+    assert p["coverage_fraction"] == pytest.approx(0.5)
+
+
+def test_polygon_outside_values_inside_weights_gives_na(spark):
+    """Polygon entirely outside the value raster but inside the weight
+    raster: weighted_mean is NaN/null, not an exception
+    (test_exact_extract.R:642-652)."""
+    varr = np.arange(1, 26, dtype=np.float64).reshape(5, 5)
+    vmeta = RasterMeta("v", xmin=5, ymax=10, dx=1, dy=1, width=5, height=5,
+                       tile_w=5, tile_h=5)
+    v = Raster.from_array(spark, varr, vmeta)
+    warr = np.ones((10, 10))
+    wmeta = RasterMeta("w", xmin=0, ymax=10, dx=1, dy=1, width=10, height=10,
+                       tile_w=10, tile_h=10)
+    w = Raster.from_array(spark, warr, wmeta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((1.5 1.5, 2.7 1.5, 2.7 2.7, 1.5 2.7, 1.5 1.5))"])
+    row = one_row(exact_extract(v, feats, ["weighted_mean"], weights=w))
+    assert row["weighted_mean"] is None or math.isnan(row["weighted_mean"])
+
+
+def test_unweighted_stat_unaffected_by_weight_raster_gaps(spark):
+    """sum requested together with weighted_mean must equal sum alone, even
+    when the polygon partially leaves the weight raster
+    (test_exact_extract.R:626-640)."""
+    varr = np.arange(1, 26, dtype=np.float64).reshape(5, 5)
+    vmeta = RasterMeta("v", xmin=0, ymax=5, dx=1, dy=1, width=5, height=5,
+                       tile_w=5, tile_h=5)
+    v = Raster.from_array(spark, varr, vmeta)
+    warr = np.sqrt(np.arange(1, 16, dtype=np.float64)).reshape(3, 5)
+    wmeta = RasterMeta("w", xmin=0, ymax=5, dx=1, dy=1, width=5, height=3,
+                       tile_w=5, tile_h=3)
+    w = Raster.from_array(spark, warr, wmeta)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((1.1 1.1, 3.1 1.1, 3.1 3.1, 1.1 3.1, 1.1 1.1))"])
+    alone = one_row(exact_extract(v, feats, ["sum"]))["sum"]
+    both = one_row(exact_extract(v, feats, ["sum", "weighted_mean"], weights=w))
+    assert both["sum"] == pytest.approx(alone, rel=1e-12)

@@ -254,3 +254,21 @@ def test_stack_single_pass_equivalence(spark):
     # and the public API auto-detects the shared table
     auto = exact_extract_stack([ra, rb], feats, stats)
     assert {r["feature_id"]: r.asDict() for r in auto.collect()} == got
+
+
+def test_nonpolygonal_feature_rejected_on_areal_path(spark):
+    """Reference refuses linear features in exact_extract
+    (test_exact_extract_errors.R:38-45)."""
+    from exactextractr_spark.core.coverage import coverage_fraction
+    from exactextractr_spark.core.geom import from_wkt
+    from exactextractr_spark.core.grid import Grid
+
+    with pytest.raises(ValueError, match="not polygonal"):
+        coverage_fraction(Grid(0, 0, 3, 3, 1, 1), from_wkt("LINESTRING (0 0, 3 3)"))
+    with pytest.raises(ValueError, match="not polygonal"):
+        coverage_fraction(Grid(0, 0, 3, 3, 1, 1), from_wkt("POINT (1 1)"))
+    # end to end
+    feats = features_from_wkt(spark, ["LINESTRING (0 0, 3 3)"])
+    r = Raster.from_array(spark, np.ones((3, 3)), meta33("v"))
+    with pytest.raises(Exception, match="not polygonal"):
+        exact_extract(r, feats, ["count"]).collect()

@@ -58,6 +58,12 @@ def main(argv=None):
         "default); raster-sequential uses the tile-cover join "
         "(exactextract.cpp:95-101)",
     )
+    p.add_argument(
+        "--linear",
+        action="store_true",
+        help="features are LineStrings: stats weight by per-cell traversal "
+        "length (the reference CLI's linear mode; weighted stats invalid)",
+    )
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--master", default=None)
@@ -113,6 +119,16 @@ def main(argv=None):
     if args.checkpoint_dir:
         ck = ZonalCheckpointer(args.checkpoint_dir)
         out = ck.run(values, feats, stats)
+    elif args.linear:
+        from .operators.coverage_op import exact_extract_lines
+
+        if weights is not None:
+            raise SystemExit("--linear does not take --weight-layer "
+                             "(length IS the weight)")
+        out = exact_extract_lines(
+            values, feats, stats,
+            broadcast_features=args.strategy == "feature-sequential",
+        )
     else:
         out = exact_extract(
             values, feats, stats, weights=weights,

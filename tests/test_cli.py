@@ -50,3 +50,34 @@ def test_cli_end_to_end(spark, tmp_path):
     row = spark.read.parquet(out_path).collect()[0]
     assert row["m"] == pytest.approx(5.0)
     assert row["v_count"] == pytest.approx(4.0)
+
+
+def test_cli_linear_mode(spark, tmp_path):
+    """--linear routes to exact_extract_lines (length-weighted stats)."""
+    from exactextractr_spark.cli import main
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    arr = np.arange(9, dtype=np.float64).reshape(3, 3)
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+    tiles_path = str(tmp_path / "tiles")
+    tile_table_from_array(spark, arr, meta).write.parquet(tiles_path)
+    feats_path = str(tmp_path / "feats")
+    features_from_wkt(spark, ["LINESTRING (0 1.5, 3 1.5)"]).select(
+        "feature_id", "geom"
+    ).write.parquet(feats_path)
+    out_path = str(tmp_path / "out")
+    main(
+        [
+            "--polys", feats_path,
+            "--tiles", tiles_path,
+            "--linear",
+            "--stat", "m=mean(v)",
+            "--stat", "count(v)",
+            "-o", out_path,
+        ]
+    )
+    row = spark.read.parquet(out_path).collect()[0]
+    assert row["m"] == pytest.approx(4.0)       # (3+4+5)/3 length-weighted
+    assert row["v_count"] == pytest.approx(3.0)  # total traversal length

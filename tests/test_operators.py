@@ -309,3 +309,39 @@ def test_exact_extract_lines_stats(spark):
     # weighted stats refused
     with pytest.raises(ValueError, match="weighted"):
         exact_extract_lines(r, feats, ["weighted_mean"])
+
+
+def test_rasterize_nonintersecting_and_partial(spark):
+    """No error when polygons miss or only partially intersect the grid
+    (test_rasterize.R:78-97)."""
+    meta = RasterMeta("g", xmin=0, ymax=2, dx=1, dy=1, width=2, height=2,
+                      tile_w=2, tile_h=2)
+    missed = features_from_wkt(spark, ["POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"])
+    assert rasterize_polygons(spark, missed, meta).count() == 0
+    partial = features_from_wkt(
+        spark, ["POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"])
+    got = {r["cell"]: r["feature_id"] for r in
+           rasterize_polygons(spark, partial, meta).collect()}
+    assert got == {2: 1}  # only the top-right cell is covered (fully)
+
+
+def test_pixels_zero_rows_for_nonintersecting_polygon(spark):
+    """Zero-row pixel frame, not an error (include_args.R:177-189)."""
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    r = Raster.from_array(spark, arr, meta33())
+    feats = features_from_wkt(spark, ["POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"])
+    assert exact_extract_pixels(r, feats).count() == 0
+
+
+def test_resample_error_parity(spark):
+    """Weighted or unknown stats are refused (test_exact_resample.R:45-66)."""
+    arr = np.ones((4, 4))
+    src_meta = RasterMeta("v", xmin=0, ymax=4, dx=1, dy=1, width=4, height=4,
+                          tile_w=4, tile_h=4)
+    dst = RasterMeta("d", xmin=0, ymax=4, dx=2, dy=2, width=2, height=2,
+                     tile_w=2, tile_h=2)
+    src = Raster.from_array(spark, arr, src_meta)
+    with pytest.raises(ValueError, match="not supported"):
+        exact_resample(src, dst, "weighted_mean")
+    with pytest.raises(ValueError, match="not supported"):
+        exact_resample(src, dst, "nope")

@@ -42,19 +42,19 @@ _SUPPORTED = {
 }
 
 
-def exact_resample(
-    src: Raster, dst_meta: RasterMeta, stat: str = "mean", *, q: float = 0.5
+def resample_facts(
+    src: Raster,
+    dst_meta: RasterMeta,
+    *,
+    coverage_area: bool = False,
+    spherical: bool = False,
 ) -> DataFrame:
-    """Returns (dst_row, dst_col, value) for destination cells with any
-    source coverage. Single unweighted stat, like the reference
-    (R/exact_resample.R:41-69): algebraic stats aggregate the overlap
-    facts directly; freq stats (mode/minority/variety) are struct-min/max
-    aggregates over the per-cell value-frequency table (ties resolved
-    exactly like the zonal path: mode→larger value, minority→smaller);
-    median/quantile use the same exact weighted interpolation kernel as
-    zonal quantiles."""
-    if stat not in _SUPPORTED:
-        raise ValueError(f"stat {stat!r} not supported for resample")
+    """(dst_row, dst_col, v, cov) overlap facts between source cells and
+    destination cells. ``coverage_area=True`` replaces the covered FRACTION
+    with the covered AREA (per-latitude-band spherical area when
+    ``spherical``, ref R/exact_resample.R:75 .areaMethod / raster_area.h:
+    21-69) — the reference's coverage_area flag for geographic grids."""
+    from .zonal import EARTH_RADIUS, _PI180
 
     dxmin, dymax = dst_meta.xmin, dst_meta.ymax
     ddx, ddy = dst_meta.dx, dst_meta.dy
@@ -121,20 +121,58 @@ def exact_resample(
                     )
                 if len(v) == 0:
                     continue
+                cov = (wx * wy) / (row.dx * row.dy)
+                if coverage_area:
+                    if spherical:
+                        ytop = row.ymax - sr * row.dy
+                        ybot = ytop - row.dy
+                        area = (
+                            EARTH_RADIUS * EARTH_RADIUS * _PI180
+                            * np.abs(np.sin(ybot * _PI180) - np.sin(ytop * _PI180))
+                            * row.dx
+                        )
+                    else:
+                        area = row.dx * row.dy
+                    cov = cov * area
                 outs.append(
                     pd.DataFrame(
                         {
                             "dst_row": dr.astype(np.int32),
                             "dst_col": dc.astype(np.int32),
                             "v": v,
-                            "cov": (wx * wy) / (row.dx * row.dy),
+                            "cov": cov,
                         }
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    facts = src.tiles.mapInPandas(_facts, _FACTS)
+    return src.tiles.mapInPandas(_facts, _FACTS)
+
+
+def exact_resample(
+    src: Raster,
+    dst_meta: RasterMeta,
+    stat: str = "mean",
+    *,
+    q: float = 0.5,
+    coverage_area: bool = False,
+    spherical: bool = False,
+) -> DataFrame:
+    """Returns (dst_row, dst_col, value) for destination cells with any
+    source coverage. Single unweighted stat, like the reference
+    (R/exact_resample.R:41-69): algebraic stats aggregate the overlap
+    facts directly; freq stats (mode/minority/variety) are struct-min/max
+    aggregates over the per-cell value-frequency table (ties resolved
+    exactly like the zonal path: mode→larger value, minority→smaller);
+    median/quantile use the same exact weighted interpolation kernel as
+    zonal quantiles. ``coverage_area`` weights by covered area instead of
+    covered fraction (the reference's flag for geographic grids)."""
+    if stat not in _SUPPORTED:
+        raise ValueError(f"stat {stat!r} not supported for resample")
+    facts = resample_facts(
+        src, dst_meta, coverage_area=coverage_area, spherical=spherical
+    )
     c = F.col("cov")
     v = F.col("v")
 
@@ -207,3 +245,29 @@ def exact_resample(
         else:  # coefficient_of_variation
             agg = F.sqrt(var) / mean
     return g.agg(agg.alias("value"))
+
+
+def exact_resample_apply(
+    src: Raster,
+    dst_meta: RasterMeta,
+    fn,
+    schema,
+    *,
+    coverage_area: bool = False,
+    spherical: bool = False,
+) -> DataFrame:
+    """The reference's R-function resample path (R/exact_resample.R:62-69:
+    ``fun(values, coverage_fractions)`` per destination cell):
+    ``fn(pdf) -> pdf`` receives one pandas frame per destination cell with
+    columns (dst_row, dst_col, value, coverage_fraction) and may return any
+    number of rows — groupBy(dst_row, dst_col).applyInPandas."""
+    facts = resample_facts(
+        src, dst_meta, coverage_area=coverage_area, spherical=spherical
+    )
+    px = facts.select(
+        "dst_row",
+        "dst_col",
+        F.col("v").alias("value"),
+        F.col("cov").alias("coverage_fraction"),
+    )
+    return px.groupBy("dst_row", "dst_col").applyInPandas(fn, schema)

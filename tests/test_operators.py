@@ -345,3 +345,61 @@ def test_resample_error_parity(spark):
         exact_resample(src, dst, "weighted_mean")
     with pytest.raises(ValueError, match="not supported"):
         exact_resample(src, dst, "nope")
+
+
+def test_resample_apply_and_coverage_area(spark):
+    """R-function resample path (R/exact_resample.R:62-69) + coverage_area
+    flag: a custom weighted-mean fn must equal stat='mean'; planar
+    coverage_area scales weights by dx*dy (ratios unchanged for mean,
+    'count' becomes area)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from exactextractr_spark.operators.resample import (
+        exact_resample_apply,
+        resample_facts,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.uniform(0, 10, (6, 6))
+    src_meta = RasterMeta("v", xmin=0, ymax=12, dx=2, dy=2, width=6, height=6,
+                          tile_w=6, tile_h=6)
+    src = Raster.from_array(spark, arr, src_meta)
+    dst = RasterMeta("d", xmin=0, ymax=12, dx=3, dy=3, width=4, height=4,
+                     tile_w=4, tile_h=4)
+
+    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["coverage_fraction"]
+        return pd.DataFrame(
+            {
+                "dst_row": [pdf["dst_row"].iloc[0]],
+                "dst_col": [pdf["dst_col"].iloc[0]],
+                "value": [(pdf["value"] * c).sum() / c.sum()],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("dst_row", T.IntegerType()),
+            T.StructField("dst_col", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    got = {(r["dst_row"], r["dst_col"]): r["value"]
+           for r in exact_resample_apply(src, dst, wmean, schema).collect()}
+    want = {(r["dst_row"], r["dst_col"]): r["value"]
+            for r in exact_resample(src, dst, "mean").collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+    # planar coverage_area: every weight scales by dx*dy=4 -> count == 4x
+    cnt = {(r["dst_row"], r["dst_col"]): r["value"]
+           for r in exact_resample(src, dst, "count").collect()}
+    cnt_area = {(r["dst_row"], r["dst_col"]): r["value"]
+                for r in exact_resample(src, dst, "count", coverage_area=True).collect()}
+    for k in cnt:
+        assert cnt_area[k] == pytest.approx(4.0 * cnt[k], rel=1e-12)
+    # spherical: facts weights vary by latitude band (monotone toward equator)
+    f = resample_facts(src, dst, coverage_area=True, spherical=True).collect()
+    assert len({round(r["cov"], 6) for r in f}) > 1

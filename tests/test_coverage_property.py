@@ -1,0 +1,126 @@
+"""Property-based fuzz of the exact coverage kernel (hypothesis).
+
+Invariants that hold for ANY simple polygon (mirrors the reference's
+area-conservation checks in test_coverage_fraction.R:107-121, generalized):
+
+1. bounds: 0 <= cov <= 1 per cell;
+2. area conservation: sum(cov) * cell_area == polygon area, whenever the
+   polygon lies fully inside the grid (shoelace area computed by a
+   DIFFERENT code path than the per-cell Green's-theorem integration);
+3. additivity: splitting the polygon with a vertical chord and summing the
+   two coverage matrices reproduces the original (up to fp);
+4. grid-translation equivariance: shifting polygon and grid together leaves
+   the matrix unchanged.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from exactextractr_spark.core.coverage import coverage_fraction
+from exactextractr_spark.core.geom import Geometry, from_wkt
+from exactextractr_spark.core.grid import Grid
+
+
+def _star_polygon(gaps_radii):
+    """Simple star-shaped polygon around (5, 5): angular gaps are the
+    normalized positive increments, all < π by construction (gap shares are
+    bounded at 1/(1+1.2) < 0.5 for u ∈ [0.6, 1], n ≥ 3), which guarantees
+    every chord stays inside its angular sector → no self-intersection."""
+    u = np.asarray([g for g, _ in gaps_radii], dtype=np.float64)
+    radii = np.asarray([r for _, r in gaps_radii], dtype=np.float64)
+    angles = 2 * np.pi * np.cumsum(u) / u.sum()
+    pts = np.stack(
+        [5.0 + radii * np.cos(angles), 5.0 + radii * np.sin(angles)], axis=1
+    )
+    ring = np.vstack([pts, pts[:1]])
+    return Geometry(kind="Polygon", rings=[ring])
+
+
+def _shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+angles_strategy = st.lists(
+    st.tuples(
+        st.floats(0.6, 1.0, allow_nan=False),   # angular gap share
+        st.floats(0.3, 4.4, allow_nan=False),   # radius
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(angles_strategy)
+def test_bounds_and_area_conservation(angles_r):
+    poly = _star_polygon(angles_r)
+    grid = Grid(0, 0, 10, 10, 1, 1)
+    cov = coverage_fraction(grid, poly)
+    assert cov.min() >= 0.0 and cov.max() <= 1.0 + 1e-12
+    want = _shoelace(poly.rings[0])
+    assert cov.sum() == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(angles_strategy, st.floats(3.2, 6.8, allow_nan=False))
+def test_vertical_split_additivity(angles_r, xcut):
+    poly = _star_polygon(angles_r)
+    grid = Grid(0, 0, 10, 10, 1, 1)
+    whole = coverage_fraction(grid, poly)
+
+    # clip by the half-planes x <= xcut and x >= xcut using the same
+    # Sutherland-Hodgman-style construction the kernel never sees
+    def clip(ring, keep_left):
+        out = []
+        n = len(ring) - 1
+        for i in range(n):
+            p, q = ring[i], ring[i + 1]
+            pin = (p[0] <= xcut) if keep_left else (p[0] >= xcut)
+            qin = (q[0] <= xcut) if keep_left else (q[0] >= xcut)
+            if pin:
+                out.append(p)
+            if pin != qin:
+                t = (xcut - p[0]) / (q[0] - p[0])
+                out.append(p + t * (q - p))
+        if len(out) < 3:
+            return None
+        out.append(out[0])
+        return np.asarray(out, dtype=np.float64)
+
+    parts = []
+    for side in (True, False):
+        r = clip(poly.rings[0], side)
+        if r is not None and _shoelace(r) > 1e-12:
+            parts.append(Geometry(kind="Polygon", rings=[r]))
+    summed = np.zeros_like(whole)
+    for p in parts:
+        summed += coverage_fraction(grid, p)
+    assert np.allclose(summed, whole, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(angles_strategy, st.integers(-3, 3), st.integers(-3, 3))
+def test_grid_translation_equivariance(angles_r, ox, oy):
+    poly = _star_polygon(angles_r)
+    grid = Grid(0, 0, 10, 10, 1, 1)
+    base = coverage_fraction(grid, poly)
+    shifted_ring = poly.rings[0] + np.array([ox, oy], dtype=np.float64)
+    shifted_poly = Geometry(kind="Polygon", rings=[shifted_ring])
+    shifted_grid = Grid(ox, oy, 10 + ox, 10 + oy, 1, 1)
+    assert np.allclose(
+        coverage_fraction(shifted_grid, shifted_poly), base, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_wkt_roundtrip_consistency():
+    """from_wkt on the same star polygon agrees with the direct Geometry."""
+    angles_r = [(0.7, 2.0), (0.9, 3.0), (0.8, 1.5)]
+    poly = _star_polygon(angles_r)
+    ring = poly.rings[0]
+    wkt = "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+    grid = Grid(0, 0, 10, 10, 1, 1)
+    assert np.allclose(
+        coverage_fraction(grid, from_wkt(wkt)), coverage_fraction(grid, poly)
+    )

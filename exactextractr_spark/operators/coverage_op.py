@@ -178,7 +178,7 @@ def exact_extract_lines(
     plan = StatsPlan(stats, quantiles or [])
     if plan.needs_weights:
         raise ValueError(
-            f"stats {sorted(set(stats) )} are weighted; linear features "
+            f"stats {sorted(set(stats))} are weighted; linear features "
             "have no weighted path (length IS the weight)"
         )
     facts = line_cell_lengths_df(

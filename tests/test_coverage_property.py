@@ -124,3 +124,57 @@ def test_wkt_roundtrip_consistency():
     assert np.allclose(
         coverage_fraction(grid, from_wkt(wkt)), coverage_fraction(grid, poly)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted-quantile properties (kernel: core/quantiles.py)
+# ---------------------------------------------------------------------------
+
+wq_values = st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(wq_values, st.data())
+def test_weighted_quantile_properties(vals, data):
+    from exactextractr_spark.core.quantiles import weighted_quantile
+
+    v = np.asarray(vals, dtype=np.float64)
+    w = np.asarray(
+        data.draw(st.lists(st.floats(0.01, 5, allow_nan=False),
+                           min_size=len(v), max_size=len(v))),
+        dtype=np.float64,
+    )
+    qs = np.asarray(sorted(data.draw(
+        st.lists(st.floats(0, 1, allow_nan=False), min_size=1, max_size=6))))
+    out = weighted_quantile(v, w, qs)
+    # bounds and monotonicity in q
+    assert np.all(out >= v.min() - 1e-9) and np.all(out <= v.max() + 1e-9)
+    assert np.all(np.diff(out) >= -1e-9)
+    # endpoints hit the extremes
+    ends = weighted_quantile(v, w, [0.0, 1.0])
+    assert ends[0] == pytest.approx(v.min())
+    assert ends[1] == pytest.approx(v.max())
+    # invariance under weight scaling
+    assert np.allclose(weighted_quantile(v, 7.5 * w, qs), out, rtol=1e-12)
+    # duplicate-merge semantics: appending a duplicated element with split
+    # weight changes nothing
+    v2 = np.append(v, v[0])
+    w2 = np.append(w, 0.0)
+    w2[0] += 0.0
+    assert np.allclose(weighted_quantile(v2, w2, qs), out, rtol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(-50, 50, allow_nan=False), min_size=2, max_size=30,
+                unique=True))
+def test_weighted_quantile_equal_weights_is_type7(vals):
+    """With equal weights over distinct values the reference's algorithm is
+    exactly R's type-7 quantile (np.percentile linear) — an independent
+    oracle (weighted_quantiles.cpp:20-70)."""
+    from exactextractr_spark.core.quantiles import weighted_quantile
+
+    v = np.asarray(vals, dtype=np.float64)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = weighted_quantile(v, np.ones_like(v), qs)
+    want = np.quantile(v, qs, method="linear")
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)

@@ -1,0 +1,163 @@
+"""Scaling evidence for the training-data-pipeline operators (companion to
+tools/scaling.py, which covers the zonal flagship): the same MinHash-LSH
+dedup job at two parallelism levels on identical input.
+
+Workload: ~100k synthetic documents (the sf0.1 documents table replicated
+with per-copy id/text salting — deterministic, written once to /tmp and
+reused by every level) → minhash_signatures → banded LSH self-join →
+est-Jaccard filter → anti-join. Methodology identical to tools/scaling.py:
+interleaved rounds, per-level MIN, hardware spin calibration, criterion
+pair inside the host's linear-CPU region (2 → 8 cores).
+
+Usage: python tools/scaling_pipeline.py [copies=20] [rounds=2]
+Writes BENCH_SCALING_PIPELINE.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEVELS = [2, 8, 32]
+DOCS_SRC = "/root/testdata/sf0.1/documents.parquet"
+
+
+def _spin(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def calibrate(n: int) -> float:
+    with mp.Pool(n) as p:
+        res = p.map(_spin, range(n))
+    return sum(res) / 1e6
+
+
+RUN_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from exactextractr_spark.session import get_spark
+from pyspark.sql import functions as F
+
+cpus = int(os.environ["PIPE_CPUS"])
+spark = get_spark("dedup-scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({docs_path!r})
+from exactextractr_spark.operators.dedup import minhash_dedup
+# warm python workers + parquet footers WITHOUT computing the job itself
+# (the job persists its signature table, and Spark's CacheManager matches
+# identical logical plans across calls — a prior full run would make later
+# reps skip the kernel entirely and time only the join)
+import pandas as pd
+def _id(it):
+    for pdf in it:
+        yield pdf
+spark.range(4 * cpus, numPartitions=cpus).mapInPandas(_id, "id long").count()
+docs.limit(64).count()
+best, n = 1e18, None
+for _ in range(int(os.environ.get("PIPE_REPS", "3"))):
+    spark.catalog.clearCache()  # every rep is true end-to-end
+    t0 = time.time()
+    n = minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.8).count()
+    best = min(best, time.time() - t0)
+print(json.dumps({{"sec": best, "kept": n}}))
+"""
+
+
+def build_docs(copies: int) -> str:
+    # copies carry DISTINCT pseudo-text (sha2-derived words, JVM-side), not
+    # near-dups of the source: 100 near-identical copies per doc would make
+    # every LSH bucket quadratic in the copy count, measuring the
+    # (intentional) pair blow-up instead of pipeline throughput; a mostly-
+    # unique corpus is the realistic 100-TB dedup shape
+    path = f"/tmp/exactextractr_bench/docs_ux{copies}"
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+    snippet = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from exactextractr_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("mkdocs", master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({DOCS_SRC!r})
+n = docs.count()
+out = (docs.crossJoin(spark.range({copies}).select(F.col("id").alias("_c")))
+    .select((F.col("doc_id") + F.col("_c") * F.lit(n * 10)).alias("doc_id"),
+            F.when(F.col("_c") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.substring(F.sha2(F.concat_ws(
+                        "|", F.col("doc_id").cast("string"),
+                        F.col("_c").cast("string"), i.cast("string")), 256), 1, 8),
+                ))).alias("text")))
+out.repartition(16).write.mode("overwrite").parquet({path!r})
+print("docs:", out.count())
+"""
+    subprocess.run([sys.executable, "-c", snippet], check=True, cwd=REPO,
+                   timeout=600)
+    return path
+
+
+def run_at(cpus: int, docs_path: str) -> float:
+    env = dict(os.environ, PIPE_CPUS=str(cpus), PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET.format(repo=REPO, docs_path=docs_path)],
+        env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["sec"]
+
+
+def main():
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    docs_path = build_docs(copies)
+    cal = {lv: round(calibrate(lv), 1) for lv in LEVELS}
+
+    times: dict[int, list[float]] = {lv: [] for lv in LEVELS}
+    for r in range(rounds):
+        for lv in LEVELS:
+            t = run_at(lv, docs_path)
+            times[lv].append(t)
+            print(f"round {r} local[{lv}]: {t:.2f}s", file=sys.stderr)
+    best = {lv: min(ts) for lv, ts in times.items()}
+    eff_28 = (best[2] / best[8]) / 4
+    eff_832 = (best[8] / best[32]) / 4
+    n_docs = 5000 * copies
+    result = {
+        "workload": {
+            "op": "minhash_dedup (32 hashes, 8 bands, threshold 0.8)",
+            "documents": n_docs,
+            "rounds": rounds,
+            "aggregation": "min over interleaved rounds, best-of-reps per run",
+        },
+        "hardware_calibration_Mops": cal,
+        "times_sec": {str(lv): [round(t, 2) for t in ts] for lv, ts in times.items()},
+        "best_sec": {str(lv): round(best[lv], 3) for lv in LEVELS},
+        "docs_per_sec": {str(lv): round(n_docs / best[lv], 1) for lv in LEVELS},
+        "scaling_efficiency_2_to_8": round(eff_28, 3),
+        "scaling_efficiency_8_to_32_raw": round(eff_832, 3),
+        "passes_0.8": eff_28 >= 0.8,
+        "criterion_pair": "N=2 -> 4N=8 cores (host linear-CPU region; see tools/scaling.py)",
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING_PIPELINE.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("| level | best sec | docs/sec |")
+    print("|---|---|---|")
+    for lv in LEVELS:
+        print(f"| local[{lv}] | {best[lv]:.2f} | {n_docs/best[lv]:.0f} |")
+    print(f"| efficiency 2→8 | **{eff_28:.3f}** | criterion pair |")
+    print(json.dumps({"scaling_efficiency": round(eff_28, 3), "passes_0.8": eff_28 >= 0.8}))
+
+
+if __name__ == "__main__":
+    main()

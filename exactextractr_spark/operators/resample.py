@@ -61,11 +61,28 @@ def resample_facts(
     dw, dh = dst_meta.width, dst_meta.height
 
     def _facts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        from ..core.png import decode_tile as _decode
+
         for pdf in batches:
             outs = []
+            raw_mode = "px" not in pdf.columns
             for row in pdf.itertuples(index=False):
                 nr, nc = int(row.nrows), int(row.ncols)
-                px = np.asarray(row.px, dtype=np.float64).reshape(nr, nc)
+                if raw_mode:
+                    # decode in-kernel: raw PNG bytes ship compressed and
+                    # cross the Arrow boundary once (same contract as the
+                    # zonal kernel) instead of full pixel arrays through a
+                    # separate decode stage
+                    px = _decode(bytes(row.bytes), nc, nr)
+                    nodata = getattr(row, "nodata", None)
+                    if nodata is not None and not (
+                        isinstance(nodata, float) and _math.isnan(nodata)
+                    ):
+                        px = np.where(px == nodata, np.nan, px)
+                else:
+                    px = np.asarray(row.px, dtype=np.float64).reshape(nr, nc)
                 sdx, sdy = row.dx, row.dy
                 # source cell edges
                 xs0 = row.xmin + np.arange(nc) * sdx
@@ -147,7 +164,8 @@ def resample_facts(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return src.tiles.mapInPandas(_facts, _FACTS)
+    source = src.raw_meta if src.raw_meta is not None else src.tiles
+    return source.mapInPandas(_facts, _FACTS)
 
 
 def exact_resample(

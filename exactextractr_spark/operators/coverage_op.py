@@ -234,6 +234,13 @@ def coverage_fraction_raster(
 
     if crop:
         cand = candidate_pairs(values, features)
+        # the dense kernel is geometry-only: drop pixel payloads BEFORE the
+        # python stage (mapInPandas ships every input column — Catalyst
+        # cannot prune through it)
+        cand = cand.select(
+            "tile_row", "tile_col", "xmin", "ymin", "xmax", "ymax",
+            "dx", "dy", "nrows", "ncols", "feats",
+        )
     else:
         # cross every feature with every tile (0-filled outside). Output is
         # inherently |features| x |tiles| — quadratic by DEFINITION of
@@ -255,7 +262,10 @@ def coverage_fraction_raster(
                 "_feat"
             )
         ).agg(F.collect_list("_feat").alias("feats"))
-        cand = all_keys.crossJoin(F.broadcast(feats_l))
+        cand = all_keys.select(
+            "tile_row", "tile_col", "xmin", "ymin", "xmax", "ymax",
+            "dx", "dy", "nrows", "ncols",
+        ).crossJoin(F.broadcast(feats_l))
 
     schema = T.StructType(
         [

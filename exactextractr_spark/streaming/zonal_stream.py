@@ -56,6 +56,11 @@ def stream_zonal_stats(
             "streaming zonal supports algebraic stats only; frequency stats "
             f"({sorted(plan.freq)}) need unbounded state — run them in batch"
         )
+    if plan.needs_weights:
+        raise ValueError(
+            "streaming zonal has no weight-raster plumbing; weighted stats "
+            "are batch-only"
+        )
 
     rows = features.select(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"

@@ -116,6 +116,9 @@ def main(argv=None):
 
     feats = prepare_features(spark.read.parquet(args.polys), args.id, args.geom)
 
+    if args.linear and args.checkpoint_dir:
+        raise SystemExit("--linear cannot be combined with --checkpoint-dir "
+                         "(the checkpointed path is areal-only)")
     if args.checkpoint_dir:
         ck = ZonalCheckpointer(args.checkpoint_dir)
         out = ck.run(values, feats, stats)

@@ -58,7 +58,8 @@ def _exclusive_cumsum(a: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def _split_segments_to_cells(
-    pts0: np.ndarray, pts1: np.ndarray, grid: Grid, clamp_x: bool
+    pts0: np.ndarray, pts1: np.ndarray, grid: Grid, clamp_x: bool,
+    inclusive_y: bool = False,
 ):
     """Split directed segments at all cell-row and cell-column boundaries.
 
@@ -80,9 +81,16 @@ def _split_segments_to_cells(
     y1 = pts1[:, 1].astype(np.float64)
 
     # ---- clip to grid y-range (drop outside parts) ----
+    # strict for the areal path (a zero-measure boundary edge has no area
+    # integral); inclusive for the line path, where a segment lying exactly
+    # ON the boundary carries real length (rows/cols clamp into range)
     dy_e = y1 - y0
-    keep = np.maximum(y0, y1) > gy0
-    keep &= np.minimum(y0, y1) < gy1
+    if inclusive_y:
+        keep = np.maximum(y0, y1) >= gy0
+        keep &= np.minimum(y0, y1) <= gy1
+    else:
+        keep = np.maximum(y0, y1) > gy0
+        keep &= np.minimum(y0, y1) < gy1
     x0, y0, x1, y1, dy_e = x0[keep], y0[keep], x1[keep], y1[keep], dy_e[keep]
     if len(x0) == 0:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),) * 4
@@ -288,9 +296,23 @@ def rect_coverage(grid: Grid, box: Box) -> np.ndarray:
     return np.outer(oy, ox) / (grid.dx * grid.dy)
 
 
-def cell_lengths(grid: Grid, geom: Geometry) -> np.ndarray:
+def cell_lengths(
+    grid: Grid,
+    geom: Geometry,
+    *,
+    closed_bottom: bool = True,
+    closed_right: bool = True,
+) -> np.ndarray:
     """Per-cell traversal length for LineStrings — the reference's linear
-    analog of coverage (raster_cell_intersection.cpp:250-259)."""
+    analog of coverage (raster_cell_intersection.cpp:250-259).
+
+    Boundary ownership follows the global floor convention: a segment on a
+    row/column boundary belongs to the cell BELOW/RIGHT of it, so a segment
+    on this grid's top or left edge is counted here, while one on the
+    bottom/right edge belongs to the neighboring grid — EXCEPT when that
+    edge is the raster's outer edge (``closed_bottom``/``closed_right``,
+    the default for a standalone grid), where it clamps inward. Tiled
+    callers pass the flags so a boundary line is counted exactly once."""
     reject_mixed_collection(geom)
     nrows, ncols = grid.nrows, grid.ncols
     out = np.zeros((nrows, ncols), dtype=np.float64)
@@ -320,7 +342,19 @@ def cell_lengths(grid: Grid, geom: Geometry) -> np.ndarray:
             continue
         q0 = p0[ok] + t0[ok, None] * np.column_stack([dxs[ok], dys[ok]])
         q1 = p0[ok] + t1[ok, None] * np.column_stack([dxs[ok], dys[ok]])
-        row, col, xa, ya, xb, yb = _split_segments_to_cells(q0, q1, grid, clamp_x=False)
+        # open-edge ownership: segments lying ENTIRELY on an open boundary
+        # belong to the neighboring grid
+        if not closed_bottom:
+            on_bot = (q0[:, 1] == grid.ymin) & (q1[:, 1] == grid.ymin)
+            q0, q1 = q0[~on_bot], q1[~on_bot]
+        if not closed_right and len(q0):
+            on_right = (q0[:, 0] == grid.xmax) & (q1[:, 0] == grid.xmax)
+            q0, q1 = q0[~on_right], q1[~on_right]
+        if len(q0) == 0:
+            continue
+        row, col, xa, ya, xb, yb = _split_segments_to_cells(
+            q0, q1, grid, clamp_x=False, inclusive_y=True
+        )
         if len(row) == 0:
             continue
         L = np.hypot(xb - xa, yb - ya)

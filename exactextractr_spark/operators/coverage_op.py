@@ -74,6 +74,8 @@ def line_cell_lengths_df(
     raster_xmin = values.meta.xmin
     raster_ymax = values.meta.ymax
     raster_width = values.meta.width
+    raster_ymin = values.meta.ymax - values.meta.height * values.meta.dy
+    raster_xmax = values.meta.xmin + values.meta.width * values.meta.dx
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math as _math
@@ -101,20 +103,26 @@ def line_cell_lengths_df(
                 ):
                     px = np.where(px == nodata, np.nan, px)
                 tg = Grid(row.xmin, row.ymin, row.xmax, row.ymax, row.dx, row.dy)
+                # candidate tests must be INCLUSIVE for lines: a horizontal/
+                # vertical line has a degenerate bbox that can lie exactly on
+                # a tile edge; the kernel's closed/open edge ownership then
+                # ensures each boundary segment is counted exactly once
                 if fb is not None:
                     items = [
                         (int(fb.ids[j]), fb.geom(j))
-                        for j in fb.overlapping(row.xmin, row.ymin, row.xmax, row.ymax)
+                        for j in fb.overlapping_inclusive(
+                            row.xmin, row.ymin, row.xmax, row.ymax
+                        )
                     ]
                 else:
                     items = []
                     for ft in row.feats:
                         # exact bbox refine (cover join is tile-granular)
                         if (
-                            ft["fxmin"] >= row.xmax
-                            or ft["fxmax"] <= row.xmin
-                            or ft["fymin"] >= row.ymax
-                            or ft["fymax"] <= row.ymin
+                            ft["fxmin"] > row.xmax
+                            or ft["fxmax"] < row.xmin
+                            or ft["fymin"] > row.ymax
+                            or ft["fymax"] < row.ymin
                         ):
                             continue
                         gwkb = bytes(ft["geom"])
@@ -123,7 +131,12 @@ def line_cell_lengths_df(
                             g = geom_cache[gwkb] = G.from_wkb(gwkb)
                         items.append((ft["feature_id"], g))
                 for fid, geom in items:
-                    lens = cell_lengths(tg, geom)
+                    lens = cell_lengths(
+                        tg,
+                        geom,
+                        closed_bottom=row.ymin <= raster_ymin,
+                        closed_right=row.xmax >= raster_xmax,
+                    )
                     rr, cc = np.nonzero(lens > 0)
                     if len(rr) == 0:
                         continue
@@ -204,7 +217,12 @@ def exact_extract_lines(
         fr = _freq_stats(plan, freq)
         result = fr if result is None else result.join(fr, "feature_id", "full")
     base = features.select("feature_id")
-    result = base.join(F.broadcast(result), on="feature_id", how="left")
+    if broadcast_features:
+        # per-feature aggregate is as small as the feature table; only hint
+        # a broadcast when the table was deemed broadcastable to begin with
+        result = base.join(F.broadcast(result), on="feature_id", how="left")
+    else:
+        result = base.join(result, on="feature_id", how="left")
     fill = {s: 0.0 for s in ("count", "sum") if s in result.columns}
     if "variety" in result.columns:
         fill["variety"] = 0

@@ -11,12 +11,11 @@ SipHash with a fixed key, deterministic across executors), shingles are
 combined from token hashes with wraparound uint64 polynomial rolling (no
 gram strings are ever materialized), and MinHash/SimHash reduce the whole
 Arrow batch at once via ``np.minimum.reduceat`` / ``np.add.reduceat``.
-The only per-row Python is the regex tokenizer.
+The only per-row Python is the bytes.translate tokenizer.
 """
 
 from __future__ import annotations
 
-import re
 from typing import Iterator
 
 import numpy as np
@@ -25,7 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TOKEN_RE = re.compile(r"\w+")
 # C-speed tokenizer: utf-8 encode, one bytes.translate pass lowercases AND
 # maps every non-[a-z0-9_] ASCII byte to space, then split. ~2.5x faster
 # than re.findall(r"\w+", text.lower()) and token-equivalent for ASCII text
@@ -122,6 +120,11 @@ def minhash_signatures(
     """
     a, b = _minhash_params(num_hashes, seed)
 
+    # bound the (num_hashes x grams) work matrix regardless of the session's
+    # Arrow batch size (a user session with the default 10k-row batches and
+    # long docs would otherwise allocate multi-GB per task)
+    max_cells = 8_000_000
+
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             tok_h, offs = _batch_token_hashes(pdf[text_col])
@@ -129,18 +132,26 @@ def minhash_signatures(
                 _doc_shingle_hashes(tok_h[offs[i] : offs[i + 1]], shingle_k)
                 for i in range(len(pdf))
             ]
-            if per_doc:
-                gram_counts = np.fromiter((g.shape[0] for g in per_doc),
-                                          dtype=np.int64, count=len(per_doc))
-                starts = np.zeros(len(per_doc), dtype=np.int64)
+            sigs: list[np.ndarray] = []
+            lo = 0
+            while lo < len(per_doc):
+                hi, cells = lo, 0
+                while hi < len(per_doc) and (
+                    hi == lo or (cells + per_doc[hi].shape[0]) * num_hashes <= max_cells
+                ):
+                    cells += per_doc[hi].shape[0]
+                    hi += 1
+                chunk = per_doc[lo:hi]
+                gram_counts = np.fromiter((g.shape[0] for g in chunk),
+                                          dtype=np.int64, count=len(chunk))
+                starts = np.zeros(len(chunk), dtype=np.int64)
                 np.cumsum(gram_counts[:-1], out=starts[1:])
-                g_all = np.concatenate(per_doc)
+                g_all = np.concatenate(chunk)
                 # (H, G) wraparound multiply-shift, then min per doc segment.
                 m = a[:, None] * g_all[None, :] + b[:, None]
-                mins = np.minimum.reduceat(m, starts, axis=1)  # (H, docs)
-                sigs = list(mins.T.copy().view(np.int64))
-            else:
-                sigs = []
+                mins = np.minimum.reduceat(m, starts, axis=1)  # (H, chunk)
+                sigs.extend(mins.T.copy().view(np.int64))
+                lo = hi
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     schema = T.StructType(
@@ -228,7 +239,10 @@ def minhash_dedup(
     approximation of per-cluster canonical selection)."""
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, seed=seed
-    ).persist()  # referenced 4x downstream (band sides + sig re-attach)
+    ).persist()  # referenced 4x downstream (band sides + sig re-attach);
+    # lifetime: session cache — long-lived sessions running many dedup jobs
+    # should spark.catalog.clearCache() between jobs (persisted DataFrames
+    # are held by the CacheManager, not released by GC)
     pairs = minhash_lsh_pairs(
         sigs, id_col=id_col, bands=bands, threshold=threshold, num_hashes=num_hashes
     )

@@ -141,14 +141,18 @@ def train_ivf_centroids(
     n_centroids: int,
     *,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: spherical k-means on a driver-side sample
     (the standard FAISS recipe — training is tiny relative to the corpus;
-    at 100 TB you sample ~10^5 vectors, not the table). Deterministic."""
-    rows = items.select(vec_col).limit(sample).collect()
+    at 100 TB you sample ~10^5 vectors, not the table). Deterministic:
+    the sample is the ``sample`` LOWEST ids (orderBy+limit compiles to a
+    distributed TakeOrdered, no full sort), not a bare limit() whose rows
+    depend on partition layout."""
+    rows = items.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -183,7 +187,9 @@ def ivf_cosine_topk(
     per query, independent of corpus size per partition. Recall grows with
     nprobe (nprobe == n_centroids degrades to exact brute force)."""
     if centroids is None:
-        centroids = train_ivf_centroids(items, n_centroids, vec_col=vec_col, seed=seed)
+        centroids = train_ivf_centroids(
+            items, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+        )
     C = np.asarray(centroids, dtype=np.float64)
     nprobe = min(nprobe, C.shape[0])
 

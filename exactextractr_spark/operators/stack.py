@@ -126,11 +126,13 @@ def _stack_single_pass(
 
     layers = [r.meta.layer for r in values]
     tiles = raw_tiles_with_meta(v0._raw).filter(F.col("layer").isin(layers))
+    # count BEFORE collecting (same guard as build_candidates: never land
+    # geometries on the driver just to discover the table is too big)
+    if features.count() > 200_000:
+        return None
     rows = features.select(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
     ).collect()
-    if len(rows) > 200_000:
-        return None
     spark = features.sparkSession
     fb = FeatureBroadcast(rows)
     feats_bc = spark.sparkContext.broadcast(fb)
@@ -148,8 +150,11 @@ def _stack_single_pass(
     piv = per_layer.groupBy("feature_id").pivot("layer", layers).agg(
         *[F.first(s).alias(s) for s in stats]
     )
-    # pivot names columns "{layer}_{stat}"; apply the reference's naming
+    # pivot names columns "{layer}_{stat}"; apply the reference's naming.
+    # Track the zero-fill targets BY FINAL NAME while renaming, so custom
+    # colname_fun names fill identically to the per-layer fallback path.
     renames = {}
+    fill: dict[str, float | int] = {}
     for lay, r in zip(layers, values):
         for s in stats:
             src = f"{lay}_{s}" if len(stats) > 1 else lay
@@ -161,19 +166,16 @@ def _stack_single_pass(
             else:
                 name = f"{s}.{lay}"
             renames[src] = name
+            if s in ("count", "sum", "weighted_count", "weighted_sum"):
+                fill[name] = 0.0
+            elif s == "variety":
+                fill[name] = 0
     for old, new in renames.items():
         piv = piv.withColumnRenamed(old, new)
     base = spark.createDataFrame(
         pd.DataFrame({"feature_id": pd.Series(fb.ids, dtype="int64")})
     )
     out = base.join(F.broadcast(piv), on="feature_id", how="left")
-    fill = {}
-    for c in out.columns:
-        stat = c.split(".")[0]
-        if stat in ("count", "sum", "weighted_count", "weighted_sum"):
-            fill[c] = 0.0
-        elif stat == "variety":
-            fill[c] = 0
     if fill:
         # fillna can't address dotted column names; coalesce with backticks
         out = out.select(
@@ -231,13 +233,25 @@ def summarize_df_pixels(
             "feature_id",
             "cell",
             F.col("value").alias(r.meta.layer),
+            F.col("coverage_fraction").alias("_cov_i"),
             *(
                 [F.col("weight").alias(f"weight_{wi.meta.layer}")]
                 if wi is not None
                 else []
             ),
         )
-        out = out.join(px, on=["feature_id", "cell"], how="inner")
+        # FULL outer: a cell that is nodata in one layer must keep the
+        # other layers' valid values with NA for the missing one (the
+        # reference's combined frame semantics); coverage is geometry-only
+        # and identical across layers, so coalesce whichever side has it
+        out = (
+            out.join(px, on=["feature_id", "cell"], how="full")
+            .withColumn(
+                "coverage_fraction",
+                F.coalesce("coverage_fraction", "_cov_i"),
+            )
+            .drop("_cov_i")
+        )
     if not include_cell:
         out = out.drop("cell")
     return out

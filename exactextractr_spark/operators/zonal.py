@@ -244,6 +244,17 @@ class FeatureBroadcast:
             & (self.fymax > ymin)
         )[0]
 
+    def overlapping_inclusive(self, xmin, ymin, xmax, ymax) -> np.ndarray:
+        """Closed-interval variant for LINEAR features, whose degenerate
+        bboxes can lie exactly on a tile edge (the line kernel's edge
+        ownership de-duplicates boundary segments)."""
+        return np.nonzero(
+            (self.fxmin <= xmax)
+            & (self.fxmax >= xmin)
+            & (self.fymin <= ymax)
+            & (self.fymax >= ymin)
+        )[0]
+
     def geom(self, i: int):
         """Parsed geometry, cached per worker (the broadcast value is
         deserialized once per executor, so the cache amortizes across all
@@ -805,6 +816,7 @@ def exact_extract(
         # once per requested freq-stat piece (mode + minority + quantile +
         # frac each reference it), so persist it — it is tiny (features ×
         # distinct values) and saves a full kernel re-scan per piece.
+        # Lifetime: session cache (clearCache() in long-lived sessions).
         partials = coverage_facts(cand, emit="freq", **kernel_kwargs)
         freq_df = partials.groupBy("feature_id", "v").agg(
             F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw")

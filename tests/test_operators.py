@@ -403,3 +403,28 @@ def test_resample_apply_and_coverage_area(spark):
     # spherical: facts weights vary by latitude band (monotone toward equator)
     f = resample_facts(src, dst, coverage_area=True, spherical=True).collect()
     assert len({round(r["cov"], 6) for r in f}) > 1
+
+
+def test_line_on_tile_and_raster_edges_counted_once(spark):
+    """Boundary lines (degenerate bboxes) follow the global floor
+    convention: owned by the cell below/right, clamped inward at the
+    raster's outer edges, counted exactly once across tiles."""
+    from exactextractr_spark.operators.coverage_op import line_cell_lengths_df
+    from exactextractr_spark.sources.features import features_from_wkt
+
+    meta = RasterMeta("v", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                      tile_w=3, tile_h=3)  # interior boundaries at x=3, y=3
+    r = Raster.from_array(spark, np.arange(36, dtype=np.float64).reshape(6, 6), meta)
+    cases = {
+        "LINESTRING (0 6, 6 6)": (6.0, [1, 2, 3, 4, 5, 6]),          # global top
+        "LINESTRING (0 0, 6 0)": (6.0, [31, 32, 33, 34, 35, 36]),    # global bottom
+        "LINESTRING (0 0.5, 0 5.5)": (5.0, [1, 7, 13, 19, 25, 31]),  # global left
+        "LINESTRING (6 0.5, 6 5.5)": (5.0, [6, 12, 18, 24, 30, 36]), # global right
+        "LINESTRING (0 3, 6 3)": (6.0, [19, 20, 21, 22, 23, 24]),    # interior y
+        "LINESTRING (3 0.5, 3 5.5)": (5.0, [4, 10, 16, 22, 28, 34]), # interior x
+    }
+    for wkt, (want_total, want_cells) in cases.items():
+        feats = features_from_wkt(spark, [wkt])
+        rows = line_cell_lengths_df(r, feats).collect()
+        assert sum(x["length"] for x in rows) == pytest.approx(want_total), wkt
+        assert sorted(x["cell"] for x in rows) == want_cells, wkt

@@ -887,10 +887,16 @@ def exact_extract_pixels(
     default_value: float | None = None,
     default_weight: float | None = None,
     broadcast_features: bool = True,
+    include_cols: "DataFrame | None" = None,
 ) -> DataFrame:
     """The R-function path's pixel table (ref src/exact_extract.cpp:46-237):
     one row per (feature, covered cell) with value / coverage_fraction /
-    optional weight / x / y / cell / area columns."""
+    optional weight / x / y / cell / area columns.
+
+    ``include_cols`` (ref R/exact_extract.R include_cols): a DataFrame with
+    a ``feature_id`` column whose remaining columns are copied onto every
+    pixel row of that feature (broadcast left join — attribute tables are
+    small next to pixel tables)."""
     cand, feats_bc = build_candidates(values, features, broadcast_features)
     disagg = (1, 1)
     if weights is not None:
@@ -929,7 +935,10 @@ def exact_extract_pixels(
         cols.append(F.col("cell"))
     if include_area:
         cols.append(F.col("area"))
-    return facts.select(*cols)
+    out = facts.select(*cols)
+    if include_cols is not None:
+        out = out.join(F.broadcast(include_cols), on="feature_id", how="left")
+    return out
 
 
 def exact_extract_apply(

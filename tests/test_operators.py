@@ -428,3 +428,16 @@ def test_line_on_tile_and_raster_edges_counted_once(spark):
         rows = line_cell_lengths_df(r, feats).collect()
         assert sum(x["length"] for x in rows) == pytest.approx(want_total), wkt
         assert sorted(x["cell"] for x in rows) == want_cells, wkt
+
+
+def test_pixels_include_cols(spark):
+    """include_cols copies source attributes onto every pixel row
+    (R/exact_extract.R include_cols, include_args.R:99-111)."""
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    r = Raster.from_array(spark, arr, meta33())
+    feats = features_from_wkt(spark, [SQ_WKT])
+    attrs = spark.createDataFrame([(1, "parcel-a", 7.5)],
+                                  "feature_id: long, name: string, zoning: double")
+    rows = exact_extract_pixels(r, feats, include_cols=attrs).collect()
+    assert len(rows) == 9
+    assert all(x["name"] == "parcel-a" and x["zoning"] == 7.5 for x in rows)

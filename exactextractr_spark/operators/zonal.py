@@ -286,9 +286,10 @@ def build_candidates(
       ``(joined_df_with_feats_lists, None)``.
     """
     # CRS reconciliation: the reference auto-transforms the polygons to the
-    # raster CRS with a warning (R/exact_extract.R:360-377); transforms are
-    # out of scope here, so a declared mismatch fails loudly instead of
-    # producing silently wrong answers on misaligned coordinates.
+    # raster CRS with a warning (R/exact_extract.R:360-377). We do the same
+    # for the closed-form pair (EPSG:4326 <-> EPSG:3857, core/crs.py); every
+    # other mismatched pair fails loudly instead of producing silently wrong
+    # answers on misaligned coordinates.
     if "crs" in feats.columns and values.meta.crs:
         fcrs = [
             r[0]
@@ -297,12 +298,27 @@ def build_candidates(
         ]
         bad = [c for c in fcrs if c != values.meta.crs]
         if bad:
-            raise ValueError(
-                f"feature CRS {bad[0]!r} does not match the raster CRS "
-                f"{values.meta.crs!r}; transform the features to the raster "
-                "CRS first (the reference transforms automatically with a "
-                "warning, R/exact_extract.R:360-377)"
-            )
+            from ..core.crs import can_transform
+            from ..sources.features import transform_features
+
+            if len(set(bad)) == 1 and len(fcrs) == 1 and can_transform(
+                bad[0], values.meta.crs
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"transforming features from {bad[0]!r} to the raster "
+                    f"CRS {values.meta.crs!r} (ref R/exact_extract.R:360-377)"
+                )
+                feats = transform_features(feats, bad[0], values.meta.crs)
+            else:
+                raise ValueError(
+                    f"feature CRS {bad[0]!r} does not match the raster CRS "
+                    f"{values.meta.crs!r} and no closed-form transform "
+                    "exists; transform the features to the raster CRS first "
+                    "(the reference transforms automatically via PROJ, "
+                    "R/exact_extract.R:360-377)"
+                )
     if not broadcast_features:
         return (
             candidate_pairs(

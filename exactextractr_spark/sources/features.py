@@ -97,3 +97,38 @@ def prepare_features(
     if crs is not None:
         out = out.withColumn("crs", F.lit(crs))
     return out
+
+
+def transform_features(df: DataFrame, src_crs: str, dst_crs: str) -> DataFrame:
+    """Reproject every feature geometry (closed-form CRS pairs only — see
+    core/crs.py) and recompute bboxes; the crs column, if present, is
+    restamped with the destination CRS."""
+    import numpy as np
+
+    from ..core.crs import transform_geometry, transform_xy
+
+    # fail fast on unsupported pairs (raises with guidance)
+    transform_xy(np.zeros(1), np.zeros(1), src_crs, dst_crs)
+
+    def _tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geoms, bounds = [], []
+            for raw in pdf["geom"]:
+                g = transform_geometry(G.from_wkb(bytes(raw)), src_crs, dst_crs)
+                geoms.append(bytearray(G.to_wkb(g)))
+                bounds.append(g.bounds())
+            yield pd.DataFrame(
+                {
+                    "feature_id": pdf["feature_id"].astype("int64"),
+                    "geom": geoms,
+                    "fxmin": [b[0] for b in bounds],
+                    "fymin": [b[1] for b in bounds],
+                    "fxmax": [b[2] for b in bounds],
+                    "fymax": [b[3] for b in bounds],
+                }
+            )
+
+    out = df.select("feature_id", "geom").mapInPandas(_tx, FEATURE_SCHEMA)
+    if "crs" in df.columns:
+        out = out.withColumn("crs", F.lit(dst_crs))
+    return out

@@ -195,7 +195,8 @@ def test_mixed_geometry_collection_rejected(spark):
 
 
 def test_crs_mismatch_fails_loudly(spark):
-    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:3857")
+    # a pair with no closed-form transform raises with guidance
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:32633")
     meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
                       tile_w=3, tile_h=3, crs="EPSG:4326")
     r = Raster.from_array(spark, np.ones((3, 3)), meta)
@@ -272,3 +273,45 @@ def test_nonpolygonal_feature_rejected_on_areal_path(spark):
     r = Raster.from_array(spark, np.ones((3, 3)), meta33("v"))
     with pytest.raises(Exception, match="not polygonal"):
         exact_extract(r, feats, ["count"]).collect()
+
+
+def test_crs_auto_transform_4326_to_3857(spark):
+    """The supported closed-form pair transforms with a warning (reference
+    behavior); results equal the same square specified directly in the
+    raster CRS. Unsupported pairs still raise."""
+    import math
+    import warnings
+
+    _R = 6378137.0
+
+    def merc_x(lon):
+        return _R * math.radians(lon)
+
+    def merc_y(lat):
+        return _R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+
+    # mercator raster whose extent matches lon/lat [0, 0.01]^2-ish
+    x1, y1 = merc_x(0.03), merc_y(0.03)
+    meta = RasterMeta("v", xmin=0, ymax=y1, dx=x1 / 3, dy=y1 / 3, width=3,
+                      height=3, tile_w=3, tile_h=3, crs="EPSG:3857")
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    r = Raster.from_array(spark, arr, meta)
+    # square covering the center cell exactly, in geographic coordinates
+    wkt_ll = (f"POLYGON (({0.01} {0.01}, {0.02} {0.01}, "
+              f"{0.02} {0.02}, {0.01} {0.02}, {0.01} {0.01}))")
+    feats_ll = features_from_wkt(spark, [wkt_ll], crs="EPSG:4326")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = exact_extract(r, feats_ll, ["sum", "count"]).collect()[0]
+    # direct mercator equivalent
+    wkt_m = (f"POLYGON (({merc_x(0.01)} {merc_y(0.01)}, {merc_x(0.02)} {merc_y(0.01)}, "
+             f"{merc_x(0.02)} {merc_y(0.02)}, {merc_x(0.01)} {merc_y(0.02)}, "
+             f"{merc_x(0.01)} {merc_y(0.01)}))")
+    feats_m = features_from_wkt(spark, [wkt_m], crs="EPSG:3857")
+    want = exact_extract(r, feats_m, ["sum", "count"]).collect()[0]
+    assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
+    assert got["count"] == pytest.approx(want["count"], rel=1e-9)
+    # unsupported pair still raises
+    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:32633")
+    with pytest.raises(ValueError, match="no closed-form transform"):
+        exact_extract(r, feats_bad, ["count"])

@@ -42,6 +42,24 @@ _SUPPORTED = {
 }
 
 
+def _check_resample_crs(src_meta: RasterMeta, dst_meta: RasterMeta) -> None:
+    """Reference parity (R/exact_resample.R:68-90): differing defined CRS
+    is an error; one side undefined warns and assumes the other's."""
+    s, d = src_meta.crs or "", dst_meta.crs or ""
+    if s and d and s != d:
+        raise ValueError(
+            "Destination raster must have same CRS as source "
+            f"({s!r} vs {d!r}; ref R/exact_resample.R:68-76)"
+        )
+    if bool(s) != bool(d):
+        import warnings
+
+        warnings.warn(
+            "No CRS specified for one raster; assuming it matches the other "
+            "(ref R/exact_resample.R:77-90)"
+        )
+
+
 def resample_facts(
     src: Raster,
     dst_meta: RasterMeta,
@@ -188,6 +206,7 @@ def exact_resample(
     covered fraction (the reference's flag for geographic grids)."""
     if stat not in _SUPPORTED:
         raise ValueError(f"stat {stat!r} not supported for resample")
+    _check_resample_crs(src.meta, dst_meta)
     facts = resample_facts(
         src, dst_meta, coverage_area=coverage_area, spherical=spherical
     )

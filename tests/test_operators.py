@@ -441,3 +441,26 @@ def test_pixels_include_cols(spark):
     rows = exact_extract_pixels(r, feats, include_cols=attrs).collect()
     assert len(rows) == 9
     assert all(x["name"] == "parcel-a" and x["zoning"] == 7.5 for x in rows)
+
+
+def test_resample_crs_error_parity(spark):
+    """Differing defined CRS between source and destination raises
+    (R/exact_resample.R:68-76); one undefined side warns and proceeds."""
+    import warnings
+
+    arr = np.ones((4, 4))
+    src_meta = RasterMeta("v", xmin=0, ymax=4, dx=1, dy=1, width=4, height=4,
+                          tile_w=4, tile_h=4, crs="EPSG:4326")
+    src = Raster.from_array(spark, arr, src_meta)
+    dst_other = RasterMeta("d", xmin=0, ymax=4, dx=2, dy=2, width=2, height=2,
+                           tile_w=2, tile_h=2, crs="EPSG:3857")
+    with pytest.raises(ValueError, match="same CRS as source"):
+        exact_resample(src, dst_other, "mean")
+    dst_undef = RasterMeta("d", xmin=0, ymax=4, dx=2, dy=2, width=2, height=2,
+                           tile_w=2, tile_h=2, crs="")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {(r["dst_row"], r["dst_col"]): r["value"]
+               for r in exact_resample(src, dst_undef, "mean").collect()}
+    assert any("No CRS specified" in str(x.message) for x in w)
+    assert got[(0, 0)] == pytest.approx(1.0)

@@ -783,6 +783,13 @@ def exact_extract(
     wraster = weights if isinstance(weights, Raster) else None
     if plan.needs_weights and weights is None:
         raise ValueError(f"stats {sorted(set(stats))} require weights")
+    if weights is not None and not plan.needs_weights:
+        import warnings
+
+        warnings.warn(
+            "weights provided but no requested stat uses them "
+            "(ref test_exact_extract_errors.R:28-36)"
+        )
     disagg = (1, 1)
     if wraster is not None:
         vg, wg = values.meta.grid, wraster.meta.grid

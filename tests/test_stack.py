@@ -315,3 +315,17 @@ def test_crs_auto_transform_4326_to_3857(spark):
     feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:32633")
     with pytest.raises(ValueError, match="no closed-form transform"):
         exact_extract(r, feats_bad, ["count"])
+
+
+def test_unused_weights_warn(spark):
+    """Warning when weights provided but no weighted stat requested
+    (test_exact_extract_errors.R:28-36)."""
+    import warnings
+
+    v = Raster.from_array(spark, np.ones((3, 3)), meta33("v"))
+    w = Raster.from_array(spark, np.ones((3, 3)), meta33("w"))
+    feats = features_from_wkt(spark, [SQ_WKT])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        exact_extract(v, feats, ["mean"], weights=w).collect()
+    assert any("weights provided" in str(x.message) for x in rec)

@@ -7,8 +7,13 @@ only on strictly-greater coverage). Cells whose TOTAL polygon coverage is
 below ``min_coverage`` are dropped; ``min_coverage == 1`` is applied with
 the reference's 1e-6 epsilon (R/rasterize.R:40-43).
 
-Spark plan: coverage facts for all features -> groupBy(cell) argmax via a
-row_number window — the reference's in-place max update is an argmax.
+Spark plan: coverage facts for all features -> ONE ``groupBy(cell)`` hash
+aggregate: ``max_by(feature_id, struct(cov, -feature_id))`` realizes the
+argmax with the lowest-id tie rule (largest ``-feature_id`` == smallest id),
+and ``sum(cov)`` in the same aggregate realizes the ``min_coverage`` filter.
+Partial aggregation is map-side, the single exchange hashes on ``cell``,
+and no sort is required — unlike a ``row_number`` window, which forces a
+sort-based exchange per window spec.
 """
 
 from __future__ import annotations
@@ -76,10 +81,22 @@ def rasterize_polygons(
         cand, feats_bc=feats_bc, values_meta=meta, include_cell=True,
         keep_nodata=True
     ).select("feature_id", "cell", "cov")
-    w = Window.partitionBy("cell").orderBy(F.desc("cov"), F.asc("feature_id"))
-    ranked = (
-        facts.withColumn("_tot", F.sum("cov").over(Window.partitionBy("cell")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("_tot") >= F.lit(min_coverage)))
+    # Argmax + total-coverage gate in ONE hash aggregate (no sort windows).
+    # Struct comparison is lexicographic: highest cov wins; on a cov tie the
+    # larger -feature_id (i.e. the LOWEST feature_id) wins — the reference's
+    # replace-only-on-strictly-greater iteration order (src/rasterize.cpp:23-52).
+    best = (
+        facts.groupBy("cell")
+        .agg(
+            F.max_by(
+                "feature_id",
+                F.struct(
+                    F.col("cov").alias("c"),
+                    (-F.col("feature_id")).alias("nid"),
+                ),
+            ).alias("feature_id"),
+            F.sum("cov").alias("_tot"),
+        )
+        .filter(F.col("_tot") >= F.lit(min_coverage))
     )
-    return ranked.select("cell", "feature_id")
+    return best.select("cell", "feature_id")

@@ -96,21 +96,25 @@ def lsh_cosine_topk(
     planes = hyperplane_signature(dim, bits, seed)
     per_band = bits // bands
 
+    # MSB-first powers of two: a band's bit slice dotted with this vector is
+    # the same integer the old per-bit loop built (key = key*2 + bit)
+    _pw = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    _offs = (np.arange(bands, dtype=np.int64) * (1 << per_band))
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            signs = (planes @ x) > 0
-            keys = []
-            for b in range(bands):
-                bitsl = signs[b * per_band : (b + 1) * per_band]
-                key = 0
-                for bit in bitsl:
-                    key = key * 2 + int(bit)
-                keys.append(b * (1 << per_band) + key)
-            out.append(keys)
-        return pd.Series(out)
+        # one batch matmul for the whole Arrow batch — zero per-row Python
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)      # (N, dim)
+        signs = (M @ planes.T) > 0                             # (N, bits)
+        keys = (
+            signs[:, : bands * per_band]
+            .reshape(len(vecs), bands, per_band)
+            .astype(np.int64)
+            @ _pw
+        ) + _offs                                              # (N, bands)
+        return pd.Series(list(keys))
 
     it = items.withColumn("bkey", F.explode(band_keys(F.col(vec_col))))
     qq = queries.select(
@@ -193,24 +197,26 @@ def ivf_cosine_topk(
     C = np.asarray(centroids, dtype=np.float64)
     nprobe = min(nprobe, C.shape[0])
 
+    def _batch_sims(vecs: pd.Series) -> np.ndarray:
+        # normalize the whole Arrow batch and matmul against C.T once;
+        # zero-norm rows are left unnormalized (cos undefined, sims all 0)
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)      # (N, dim)
+        n = np.linalg.norm(M, axis=1)
+        M /= np.where(n == 0.0, 1.0, n)[:, None]
+        return M @ C.T                                         # (N, K)
+
     @F.pandas_udf(T.IntegerType())
     def nearest_list(vecs: pd.Series) -> pd.Series:
-        out = np.empty(len(vecs), dtype=np.int32)
-        for i, v in enumerate(vecs):
-            x = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(x)
-            out[i] = int(np.argmax(C @ (x / n if n else x)))
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        return pd.Series(np.argmax(_batch_sims(vecs), axis=1).astype(np.int32))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(x)
-            sims = C @ (x / n if n else x)
-            out.append([int(c) for c in np.argsort(-sims)[:nprobe]])
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        order = np.argsort(-_batch_sims(vecs), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
 
     it = items.withColumn("_list", nearest_list(F.col(vec_col)))
     qq = queries.select(

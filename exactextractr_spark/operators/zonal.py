@@ -290,17 +290,40 @@ def build_candidates(
     # for the closed-form pair (EPSG:4326 <-> EPSG:3857, core/crs.py); every
     # other mismatched pair fails loudly instead of producing silently wrong
     # answers on misaligned coordinates.
-    if "crs" in feats.columns and values.meta.crs:
-        fcrs = [
-            r[0]
-            for r in feats.select("crs").distinct().collect()
-            if r[0] not in (None, "")
-        ]
+    # ONE metadata job covers both the CRS audit and the broadcast-size
+    # guard: agg(count, collect_set(crs)) — the CRS audit must see every
+    # row's crs anyway (any single mismatched row invalidates the run), so
+    # folding count() into the same aggregate is free, and every zonal query
+    # now issues at most one auxiliary driver job before the kernel stage.
+    n_feats: int | None = None
+    check_crs = "crs" in feats.columns and bool(values.meta.crs)
+    if check_crs:
+        meta_row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            # coalesce to "" so a null-crs row is visible in the set — rows
+            # with no CRS are conventionally assumed to already be in the
+            # raster CRS and must NOT be silently reprojected
+            F.collect_set(F.coalesce(F.col("crs"), F.lit(""))).alias("cset"),
+        ).first()
+        n_feats = meta_row["n"]
+        cset = set(meta_row["cset"])
+        has_null = "" in cset
+        fcrs = sorted(cset - {""})
         bad = [c for c in fcrs if c != values.meta.crs]
         if bad:
             from ..core.crs import can_transform
             from ..sources.features import transform_features
 
+            if has_null:
+                # mixed null-CRS and defined-CRS rows: transform_features
+                # reprojects EVERY row, which would silently move the
+                # null-CRS geometries (assumed already in the raster CRS)
+                raise ValueError(
+                    "feature table mixes rows with no CRS and rows in "
+                    f"{bad[0]!r}; cannot auto-transform without silently "
+                    "reprojecting the CRS-less rows — stamp or transform "
+                    "them explicitly first"
+                )
             if len(set(bad)) == 1 and len(fcrs) == 1 and can_transform(
                 bad[0], values.meta.crs
             ):
@@ -326,10 +349,14 @@ def build_candidates(
             ),
             None,
         )
-    # guard BEFORE collecting: a count() is a column-pruned aggregate (no
+    # guard BEFORE collecting: a count is a column-pruned aggregate (no
     # geometry bytes move), so a 10M-feature table falls back to the
-    # distributed cover join without ever landing WKBs on the driver
-    if feats.count() > BROADCAST_FEATURE_LIMIT:
+    # distributed cover join without ever landing WKBs on the driver.
+    # Reuse the CRS-audit count when it ran; otherwise bound the scan with
+    # limit(LIMIT+1) so a huge table short-circuits instead of fully counting.
+    if n_feats is None:
+        n_feats = feats.limit(BROADCAST_FEATURE_LIMIT + 1).count()
+    if n_feats > BROADCAST_FEATURE_LIMIT:
         return (
             candidate_pairs(
                 values, feats, broadcast_features=True, salt_buckets=salt_buckets

@@ -275,6 +275,24 @@ def test_nonpolygonal_feature_rejected_on_areal_path(spark):
         exact_extract(r, feats, ["count"]).collect()
 
 
+def test_crs_mixed_null_and_defined_raises(spark):
+    """A table unioning CRS-less rows (assumed raster CRS) with rows in a
+    transformable-but-mismatched CRS must NOT silently reproject the
+    CRS-less rows — it raises instead."""
+    import pyspark.sql.functions as F
+
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3, crs="EPSG:3857")
+    r = Raster.from_array(spark, np.ones((3, 3)), meta)
+    with_crs = features_from_wkt(spark, [SQ_WKT], ids=[1], crs="EPSG:4326")
+    no_crs = features_from_wkt(spark, [SQ_WKT], ids=[2]).withColumn(
+        "crs", F.lit(None).cast("string")
+    )
+    mixed = with_crs.unionByName(no_crs)
+    with pytest.raises(ValueError, match="mixes rows"):
+        exact_extract(r, mixed, ["count"])
+
+
 def test_crs_auto_transform_4326_to_3857(spark):
     """The supported closed-form pair transforms with a warning (reference
     behavior); results equal the same square specified directly in the

@@ -414,6 +414,31 @@ def _q_zonal_stack_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stack_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freq stats (mode/variety) over a shared two-layer tile table —
+    exercises the single-scan freq fast path (one emit='freq' kernel pass
+    tagged by layer, then per-layer _freq_stats)."""
+    _tune(spark)
+    from exactextractr_spark.operators.stack import exact_extract_stack
+    from exactextractr_spark.sources.tiles import Raster
+
+    va = _synth_raster(spark)
+    vw = _synth_raster(spark, weights=True)
+    shared = va._raw.unionByName(vw._raw)
+    ra = Raster.from_tiles(shared, va.meta)
+    rw = Raster.from_tiles(shared, vw.meta)
+    df = exact_extract_stack(
+        [ra, rw], _synth_features(spark, sf_dir), ["mode", "variety"]
+    )
+    return df.select(
+        "feature_id",
+        F.col("`mode.v`").alias("mode_v"),
+        F.col("`variety.v`").cast("long").alias("variety_v"),
+        F.col("`mode.w`").alias("mode_w"),
+        F.col("`variety.w`").cast("long").alias("variety_w"),
+    )
+
+
 def _q_pixels_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from exactextractr_spark.operators.zonal import exact_extract_pixels
@@ -722,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_area_weighted": _q_zonal_area_weighted,
         "zonal_stack": _q_zonal_stack,
         "zonal_stack_shared": _q_zonal_stack_shared,
+        "zonal_stack_freq": _q_zonal_stack_freq,
         "pixels_xy": _q_pixels_xy,
         "weighted_frac_long": _q_weighted_frac_long,
         "resample_misaligned": _q_resample_misaligned,
@@ -938,6 +964,30 @@ SELECT feature_id,
        SUM(w * cov) / SUM(cov) AS mean_w,
        MAX(w) AS max_w
 FROM facts WHERE cov > 0 GROUP BY feature_id
+""",
+        "zonal_stack_freq": _FACTS_CTE + """
+, fv AS (
+  SELECT feature_id, v, SUM(cov) AS sum_c
+  FROM facts WHERE cov > 0 GROUP BY feature_id, v
+), fw AS (
+  SELECT feature_id, w AS v, SUM(cov) AS sum_c
+  FROM facts WHERE cov > 0 GROUP BY feature_id, w
+), rv AS (
+  SELECT feature_id, v,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY sum_c DESC, v DESC) AS rn
+  FROM fv
+), rw AS (
+  SELECT feature_id, v,
+         ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY sum_c DESC, v DESC) AS rn
+  FROM fw
+)
+SELECT a.feature_id,
+       a.v AS mode_v, va.variety_v,
+       b.v AS mode_w, vb.variety_w
+FROM (SELECT feature_id, v FROM rv WHERE rn = 1) a
+JOIN (SELECT feature_id, v FROM rw WHERE rn = 1) b USING (feature_id)
+JOIN (SELECT feature_id, COUNT(*) AS variety_v FROM fv GROUP BY feature_id) va USING (feature_id)
+JOIN (SELECT feature_id, COUNT(*) AS variety_w FROM fw GROUP BY feature_id) vb USING (feature_id)
 """,
         "pixels_xy": _FACTS_CTE + f"""
 SELECT feature_id, v, cov,

@@ -99,29 +99,47 @@ def _stack_single_pass(
 ) -> "DataFrame | None":
     """Single-scan fast path for the layer loop: when all value layers live
     in the SAME raw tile table on one grid (the Iceberg multi-layer shape),
-    run the coverage kernel ONCE over all layers' tiles (each moments row
-    tagged with its layer) and pivot — N layers cost one table scan instead
-    of N. Returns None when preconditions don't hold (weights, freq stats,
-    heterogenous sources/grids, non-default strategy kwargs) and the caller
-    falls back to the per-layer loop."""
+    run the coverage kernel ONCE over all layers' tiles (each row tagged
+    with its layer) and pivot/join — N layers cost one table scan instead
+    of N. Freq stats (mode/median/quantile/frac/...) ride the same single
+    scan: one ``emit="freq"`` pass tagged by layer, aggregated once and
+    persisted (features × layers × distinct values — tiny), then each
+    layer's slice routes through the same ``_freq_stats`` the per-layer
+    loop uses (mixed algebraic stats derive from the freq table exactly as
+    ``exact_extract`` does, so results match the fallback). Returns None
+    when preconditions don't hold (weights, heterogenous sources/grids,
+    non-default strategy kwargs) and the caller falls back to the loop."""
     import pandas as pd
 
     from ..plans.stats import StatsPlan
     from ..sources.tiles import raw_tiles_with_meta
-    from .zonal import FeatureBroadcast, coverage_facts
+    from .zonal import FeatureBroadcast, _freq_stats, coverage_facts
 
+    quantiles = kwargs.pop("quantiles", None) or []
     if weights is not None or kwargs or len(values) < 2:
         return None
     v0 = values[0]
     if v0._raw is None or any(r._raw is not v0._raw for r in values[1:]):
         return None
+    # identical-grid gate: resolution, origin AND extent (width/height) must
+    # match, compared with the same relative tolerance Grid.compatible_with
+    # uses — exact float equality would reject harmless rounding, and
+    # ignoring extent would let different-sized layers share one pass
     g0 = v0.meta.grid
     for r in values[1:]:
         g = r.meta.grid
-        if (g.dx, g.dy, g.xmin, g.ymax) != (g0.dx, g0.dy, g0.xmin, g0.ymax):
+        tol_x, tol_y = 1e-3 * g0.dx, 1e-3 * g0.dy
+        if (
+            abs(g.dx - g0.dx) > tol_x
+            or abs(g.dy - g0.dy) > tol_y
+            or abs(g.xmin - g0.xmin) > tol_x
+            or abs(g.ymax - g0.ymax) > tol_y
+            or abs(g.xmax - g0.xmax) > tol_x
+            or abs(g.ymin - g0.ymin) > tol_y
+        ):
             return None
-    plan = StatsPlan(stats, [])
-    if plan.freq or plan.needs_weights:
+    plan = StatsPlan(stats, quantiles)
+    if plan.needs_weights:
         return None
 
     layers = [r.meta.layer for r in values]
@@ -136,42 +154,79 @@ def _stack_single_pass(
     spark = features.sparkSession
     fb = FeatureBroadcast(rows)
     feats_bc = spark.sparkContext.broadcast(fb)
-    moments = coverage_facts(
-        tiles, emit="moments", feats_bc=feats_bc, values_meta=v0.meta,
-        by_layer=True,
-    )
-    agg = moments.groupBy("feature_id", "layer").agg(
-        *plan.algebraic_aggs_from_moments()
-    )
     fin = plan.finalize_columns()
-    per_layer = agg.select(
-        "feature_id", "layer", *[fin[s].alias(s) for s in plan.algebraic]
-    )
-    piv = per_layer.groupBy("feature_id").pivot("layer", layers).agg(
-        *[F.first(s).alias(s) for s in stats]
-    )
-    # pivot names columns "{layer}_{stat}"; apply the reference's naming.
-    # Track the zero-fill targets BY FINAL NAME while renaming, so custom
-    # colname_fun names fill identically to the per-layer fallback path.
-    renames = {}
     fill: dict[str, float | int] = {}
-    for lay, r in zip(layers, values):
-        for s in stats:
-            src = f"{lay}_{s}" if len(stats) > 1 else lay
-            if colname_fun is not None:
-                name = colname_fun(
-                    fun_name=s, values=lay, weights=None, fun_value=s,
-                    nvalues=len(values), nweights=0,
+
+    def _final_name(col: str, lay: str) -> str:
+        if colname_fun is not None:
+            return colname_fun(
+                fun_name=col, values=lay, weights=None, fun_value=col,
+                nvalues=len(values), nweights=0,
+            )
+        return f"{col}.{lay}"
+
+    if plan.freq:
+        partials = coverage_facts(
+            tiles, emit="freq", feats_bc=feats_bc, values_meta=v0.meta,
+            by_layer=True,
+        )
+        freq_all = (
+            partials.groupBy("feature_id", "layer", "v")
+            .agg(F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw"))
+            .persist()
+        )
+        piv = None
+        for lay in layers:
+            freq_df = freq_all.filter(F.col("layer") == F.lit(lay)).drop("layer")
+            res = None
+            if plan.algebraic:
+                agg_df = freq_df.groupBy("feature_id").agg(
+                    *plan.algebraic_aggs_from_freq()
                 )
-            else:
-                name = f"{s}.{lay}"
-            renames[src] = name
-            if s in ("count", "sum", "weighted_count", "weighted_sum"):
-                fill[name] = 0.0
-            elif s == "variety":
-                fill[name] = 0
-    for old, new in renames.items():
-        piv = piv.withColumnRenamed(old, new)
+                res = agg_df.select(
+                    "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
+                )
+            fr = _freq_stats(plan, freq_df)
+            res = fr if res is None else res.join(fr, on="feature_id", how="full")
+            for c in list(res.columns):
+                if c == "feature_id":
+                    continue
+                name = _final_name(c, lay)
+                if c in ("count", "sum", "weighted_count", "weighted_sum"):
+                    fill[name] = 0.0
+                elif c == "variety":
+                    fill[name] = 0
+                res = res.withColumnRenamed(c, name)
+            piv = res if piv is None else piv.join(res, on="feature_id", how="full")
+    else:
+        moments = coverage_facts(
+            tiles, emit="moments", feats_bc=feats_bc, values_meta=v0.meta,
+            by_layer=True,
+        )
+        agg = moments.groupBy("feature_id", "layer").agg(
+            *plan.algebraic_aggs_from_moments()
+        )
+        per_layer = agg.select(
+            "feature_id", "layer", *[fin[s].alias(s) for s in plan.algebraic]
+        )
+        piv = per_layer.groupBy("feature_id").pivot("layer", layers).agg(
+            *[F.first(s).alias(s) for s in stats]
+        )
+        # pivot names columns "{layer}_{stat}"; apply the reference's naming.
+        # Track the zero-fill targets BY FINAL NAME while renaming, so custom
+        # colname_fun names fill identically to the per-layer fallback path.
+        renames = {}
+        for lay, r in zip(layers, values):
+            for s in stats:
+                src = f"{lay}_{s}" if len(stats) > 1 else lay
+                name = _final_name(s, lay)
+                renames[src] = name
+                if s in ("count", "sum", "weighted_count", "weighted_sum"):
+                    fill[name] = 0.0
+                elif s == "variety":
+                    fill[name] = 0
+        for old, new in renames.items():
+            piv = piv.withColumnRenamed(old, new)
     base = spark.createDataFrame(
         pd.DataFrame({"feature_id": pd.Series(fb.ids, dtype="int64")})
     )

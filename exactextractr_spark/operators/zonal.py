@@ -713,14 +713,20 @@ def coverage_facts(
                         uv, inv = np.unique(v, return_inverse=True)
                         sum_c = np.bincount(inv, weights=covv)
                         sum_cw = np.bincount(inv, weights=covv * w)
-                        outs.append(
-                            (
-                                np.full(len(uv), feature_id, np.int64),
-                                uv,
-                                sum_c,
-                                sum_cw,
-                            )
+                        rec_f = (
+                            np.full(len(uv), feature_id, np.int64),
+                            uv,
+                            sum_c,
+                            sum_cw,
                         )
+                        if by_layer:
+                            # multi-layer single pass: tag with this tile
+                            # row's layer (same as the moments emit)
+                            rec_f = (
+                                rec_f[0],
+                                np.full(len(uv), row.layer, dtype=object),
+                            ) + rec_f[1:]
+                        outs.append(rec_f)
                         continue
                     if need_cell:
                         # 1-based global cell index of the value raster, row-major
@@ -767,6 +773,11 @@ def coverage_facts(
             )
     elif emit == "freq":
         schema = FREQ_SCHEMA
+        if by_layer:
+            schema = T.StructType(
+                [schema.fields[0], T.StructField("layer", T.StringType())]
+                + list(schema.fields[1:])
+            )
     else:
         schema = FACTS_SCHEMA
     _out_cols = [f.name for f in schema.fields]
@@ -1019,28 +1030,28 @@ def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
     fid = F.col("feature_id")
 
     wanted = set(plan.freq)
+    # mode/majority, minority, and variety fuse into ONE hash aggregate —
+    # max_by/min_by over struct(sum_c, v) realize the reference's tie rules
+    # (mode: highest count, tie -> highest value, raster_stats.h:176-186;
+    # minority: lowest count, tie -> lowest value, raster_stats.h:393-403)
+    # in a single exchange instead of two sort windows + a join chain.
+    point_aggs: list = []
     if wanted & {"mode", "majority"}:
-        w = Window.partitionBy("feature_id").orderBy(
-            F.desc("sum_c"), F.desc("v")
-        )
-        top = (
-            freq_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(fid, F.col("v").alias("mode"))
+        mode_expr = F.max_by(
+            "v", F.struct(F.col("sum_c").alias("c"), F.col("v").alias("vv"))
         )
         for s in [x for x in plan.freq if x in ("mode", "majority")]:
-            pieces.append(top.select(fid, F.col("mode").alias(s)) if s != "mode" else top)
+            point_aggs.append(mode_expr.alias(s))
     if "minority" in wanted:
-        w = Window.partitionBy("feature_id").orderBy(F.asc("sum_c"), F.asc("v"))
-        pieces.append(
-            freq_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(fid, F.col("v").alias("minority"))
+        point_aggs.append(
+            F.min_by(
+                "v", F.struct(F.col("sum_c").alias("c"), F.col("v").alias("vv"))
+            ).alias("minority")
         )
     if "variety" in wanted:
-        pieces.append(
-            freq_df.groupBy("feature_id").agg(F.count("v").cast("int").alias("variety"))
-        )
+        point_aggs.append(F.count("v").cast("int").alias("variety"))
+    if point_aggs:
+        pieces.append(freq_df.groupBy("feature_id").agg(*point_aggs))
     qs: list[float] = []
     if "median" in wanted:
         qs.append(0.5)

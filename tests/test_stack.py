@@ -257,6 +257,50 @@ def test_stack_single_pass_equivalence(spark):
     assert {r["feature_id"]: r.asDict() for r in auto.collect()} == got
 
 
+def test_stack_single_pass_freq_equivalence(spark):
+    """Freq stats (mode/median/variety) + mixed algebraic ride the single
+    scan and must equal the per-layer loop."""
+    from exactextractr_spark.operators import stack as stack_mod
+    from exactextractr_spark.sources.tiles import tile_table_from_array
+
+    # categorical-ish small-integer layers so mode/median ties are exercised
+    arr_a = (np.arange(36, dtype=np.float64).reshape(6, 6) % 5) + 1
+    arr_b = (np.arange(36, dtype=np.float64).reshape(6, 6) % 3) + 10
+    meta_a = RasterMeta("a", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    meta_b = RasterMeta("b", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    shared = tile_table_from_array(spark, arr_a, meta_a).unionByName(
+        tile_table_from_array(spark, arr_b, meta_b)
+    )
+    ra = Raster.from_tiles(shared, meta_a)
+    rb = Raster.from_tiles(shared, meta_b)
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 4.5 0.5, 4.5 4.5, 0.5 4.5, 0.5 0.5))",
+                "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"]  # outside
+    )
+    stats = ["mean", "mode", "median", "variety"]
+    fast = stack_mod._stack_single_pass(
+        [ra, rb], feats, stats, weights=None, full_colnames=False,
+        colname_fun=None,
+    )
+    assert fast is not None
+    got = {r["feature_id"]: r.asDict() for r in fast.collect()}
+    ra2 = Raster.from_array(spark, arr_a, meta_a)
+    rb2 = Raster.from_array(spark, arr_b, meta_b)
+    want = {r["feature_id"]: r.asDict() for r in
+            exact_extract_stack([ra2, rb2], feats, stats).collect()}
+    assert set(got) == set(want) == {1, 2}
+    for fid in want:
+        assert set(got[fid]) == set(want[fid]), (set(got[fid]), set(want[fid]))
+        for c in want[fid]:
+            gv, wv = got[fid][c], want[fid][c]
+            if wv is None or (isinstance(wv, float) and np.isnan(wv)):
+                assert gv is None or (isinstance(gv, float) and np.isnan(gv)), (fid, c, gv, wv)
+            else:
+                assert gv == pytest.approx(wv, rel=1e-12), (fid, c, gv, wv)
+
+
 def test_nonpolygonal_feature_rejected_on_areal_path(spark):
     """Reference refuses linear features in exact_extract
     (test_exact_extract_errors.R:38-45)."""

@@ -59,8 +59,23 @@ def transform_xy(
     )
 
 
+def _dst_srid(dst: str) -> "int | None":
+    """EPSG code of the destination CRS, or None — a transformed geometry
+    must not keep its SOURCE srid (a stale EWKB SRID would contradict the
+    restamped crs column)."""
+    c = _norm(dst)
+    if c.startswith("EPSG:"):
+        try:
+            return int(c.split(":", 1)[1])
+        except ValueError:
+            return None
+    return None
+
+
 def transform_geometry(geom, src: str, dst: str):
-    """Deep-transform every coordinate of a parsed Geometry."""
+    """Deep-transform every coordinate of a parsed Geometry. The embedded
+    SRID is restamped to the destination CRS (or dropped if it has no EPSG
+    code) so re-encoded EWKB matches the new coordinates."""
     from .geom import Geometry
 
     def tx(arr: np.ndarray) -> np.ndarray:
@@ -77,5 +92,5 @@ def transform_geometry(geom, src: str, dst: str):
         ),
         rings=[tx(r) for r in geom.rings],
         parts=[transform_geometry(p, src, dst) for p in geom.parts],
-        srid=geom.srid,
+        srid=_dst_srid(dst) if geom.srid is not None else None,
     )

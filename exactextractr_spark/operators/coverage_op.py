@@ -131,11 +131,16 @@ def line_cell_lengths_df(
                             g = geom_cache[gwkb] = G.from_wkb(gwkb)
                         items.append((ft["feature_id"], g))
                 for fid, geom in items:
+                    # half-cell tolerance: the tile edge is computed JVM-side
+                    # from caption JSON ((ymax - r0*dy) - h*dy) and the raster
+                    # edge driver-side (ymax - height*dy); a 1-ULP divergence
+                    # must not flip the raster's outer edge to "open" and drop
+                    # a boundary-line segment
                     lens = cell_lengths(
                         tg,
                         geom,
-                        closed_bottom=row.ymin <= raster_ymin,
-                        closed_right=row.xmax >= raster_xmax,
+                        closed_bottom=row.ymin <= raster_ymin + 0.5 * row.dy,
+                        closed_right=row.xmax >= raster_xmax - 0.5 * row.dx,
                     )
                     rr, cc = np.nonzero(lens > 0)
                     if len(rr) == 0:

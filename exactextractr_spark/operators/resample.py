@@ -45,7 +45,9 @@ _SUPPORTED = {
 def _check_resample_crs(src_meta: RasterMeta, dst_meta: RasterMeta) -> None:
     """Reference parity (R/exact_resample.R:68-90): differing defined CRS
     is an error; one side undefined warns and assumes the other's."""
-    s, d = src_meta.crs or "", dst_meta.crs or ""
+    from ..core.crs import _norm
+
+    s, d = _norm(src_meta.crs or ""), _norm(dst_meta.crs or "")
     if s and d and s != d:
         raise ValueError(
             "Destination raster must have same CRS as source "
@@ -169,18 +171,20 @@ def resample_facts(
                     else:
                         area = row.dx * row.dy
                     cov = cov * area
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "dst_row": dr.astype(np.int32),
-                            "dst_col": dc.astype(np.int32),
-                            "v": v,
-                            "cov": cov,
-                        }
-                    )
-                )
+                outs.append((dr.astype(np.int32), dc.astype(np.int32), v, cov))
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                # ONE frame per Arrow batch (np.concatenate of column
+                # arrays), not a pandas frame + concat per tile — same
+                # assemble-once fix the zonal kernel carries
+                cols = list(zip(*outs))
+                yield pd.DataFrame(
+                    {
+                        "dst_row": np.concatenate(cols[0]),
+                        "dst_col": np.concatenate(cols[1]),
+                        "v": np.concatenate(cols[2]),
+                        "cov": np.concatenate(cols[3]),
+                    }
+                )
 
     source = src.raw_meta if src.raw_meta is not None else src.tiles
     return source.mapInPandas(_facts, _FACTS)
@@ -298,6 +302,9 @@ def exact_resample_apply(
     ``fn(pdf) -> pdf`` receives one pandas frame per destination cell with
     columns (dst_row, dst_col, value, coverage_fraction) and may return any
     number of rows — groupBy(dst_row, dst_col).applyInPandas."""
+    # same CRS validation as the named-stat path (the reference checks
+    # before both, R/exact_resample.R:31-41)
+    _check_resample_crs(src.meta, dst_meta)
     facts = resample_facts(
         src, dst_meta, coverage_area=coverage_area, spherical=spherical
     )

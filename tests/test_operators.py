@@ -464,3 +464,40 @@ def test_resample_crs_error_parity(spark):
                for r in exact_resample(src, dst_undef, "mean").collect()}
     assert any("No CRS specified" in str(x.message) for x in w)
     assert got[(0, 0)] == pytest.approx(1.0)
+    # semantic compare: aliases of the same CRS are NOT a mismatch
+    dst_alias = RasterMeta("d", xmin=0, ymax=4, dx=2, dy=2, width=2, height=2,
+                           tile_w=2, tile_h=2, crs="WGS84")
+    ok = {(r["dst_row"], r["dst_col"]): r["value"]
+          for r in exact_resample(src, dst_alias, "mean").collect()}
+    assert ok[(0, 0)] == pytest.approx(1.0)
+    # the R-function path validates CRS too (R/exact_resample.R:31-41)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from exactextractr_spark.operators.resample import exact_resample_apply
+
+    sch = T.StructType([T.StructField("dst_row", T.IntegerType()),
+                        T.StructField("dst_col", T.IntegerType()),
+                        T.StructField("value", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.iloc[:1][["dst_row", "dst_col", "value"]]
+
+    with pytest.raises(ValueError, match="same CRS as source"):
+        exact_resample_apply(src, dst_other, fn, sch)
+
+
+def test_transform_geometry_restamps_srid():
+    """Reprojection must not leave the source SRID embedded in the output
+    geometry (stale EWKB SRID contradicting the crs column)."""
+    from exactextractr_spark.core.crs import transform_geometry
+    from exactextractr_spark.core.geom import from_wkt
+
+    g = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    g = type(g)(kind=g.kind, coords=g.coords, rings=g.rings, parts=g.parts,
+                srid=4326)
+    out = transform_geometry(g, "EPSG:4326", "EPSG:3857")
+    assert out.srid == 3857
+    # srid-less input stays srid-less
+    g2 = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert transform_geometry(g2, "EPSG:4326", "EPSG:3857").srid is None

@@ -195,8 +195,9 @@ def test_mixed_geometry_collection_rejected(spark):
 
 
 def test_crs_mismatch_fails_loudly(spark):
-    # a pair with no closed-form transform raises with guidance
-    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:32633")
+    # a pair with no closed-form transform raises with guidance (EPSG:27700
+    # is a non-WGS84 datum — genuinely needs PROJ datum math)
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:27700")
     meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
                       tile_w=3, tile_h=3, crs="EPSG:4326")
     r = Raster.from_array(spark, np.ones((3, 3)), meta)
@@ -373,10 +374,76 @@ def test_crs_auto_transform_4326_to_3857(spark):
     want = exact_extract(r, feats_m, ["sum", "count"]).collect()[0]
     assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
     assert got["count"] == pytest.approx(want["count"], rel=1e-9)
-    # unsupported pair still raises
-    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:32633")
+    # unsupported pair still raises (non-WGS84 datum)
+    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:27700")
     with pytest.raises(ValueError, match="no closed-form transform"):
         exact_extract(r, feats_bad, ["count"])
+
+
+def test_utm_transform_series():
+    """Krüger-series UTM: anchors, round-trip, and the meridian arc checked
+    against independent numerical integration of the ellipsoid meridian
+    radius (a wrong series coefficient fails this at ~1e-6)."""
+    from exactextractr_spark.core.crs import can_transform, transform_xy
+
+    assert can_transform("EPSG:32633", "EPSG:4326")
+    assert can_transform("EPSG:32733", "EPSG:3857")
+    assert not can_transform("EPSG:27700", "EPSG:4326")
+    # central-meridian/equator anchors (exact by construction)
+    e, n = transform_xy(np.array([15.0]), np.array([0.0]),
+                        "EPSG:4326", "EPSG:32633")
+    assert e[0] == pytest.approx(500_000.0, abs=1e-6)
+    assert n[0] == pytest.approx(0.0, abs=1e-6)
+    e, n = transform_xy(np.array([15.0]), np.array([0.0]),
+                        "EPSG:4326", "EPSG:32733")
+    assert n[0] == pytest.approx(10_000_000.0, abs=1e-6)
+    # round-trip across the zone (and beyond its 3-degree half-width)
+    rng = np.random.default_rng(7)
+    lon = 15 + rng.uniform(-4, 4, 500)
+    lat = rng.uniform(-80, 84, 500)
+    E, N = transform_xy(lon, lat, "EPSG:4326", "EPSG:32633")
+    lon2, lat2 = transform_xy(E, N, "EPSG:32633", "EPSG:4326")
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # meridian arc to 60N vs numerical integration of M(phi)
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.linspace(0.0, np.radians(60.0), 400_001)
+    M = a * (1 - e2) / np.power(1 - e2 * np.sin(phi) ** 2, 1.5)
+    arc = np.trapz(M, phi)
+    E, N = transform_xy(np.array([15.0]), np.array([60.0]),
+                        "EPSG:4326", "EPSG:32633")
+    assert N[0] / 0.9996 == pytest.approx(arc, rel=1e-9)
+
+
+def test_utm_features_auto_transform(spark):
+    """UTM polygon against a geographic raster: transforms with a warning
+    and matches the same polygon given directly in raster coordinates."""
+    import warnings
+
+    from exactextractr_spark.core.crs import transform_xy
+
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3, crs="EPSG:4326")
+    r = Raster.from_array(spark, np.arange(1.0, 10.0).reshape(3, 3), meta)
+    want = exact_extract(
+        r, features_from_wkt(spark, [SQ_WKT], crs="EPSG:4326"),
+        ["sum", "count"],
+    ).collect()[0]
+    # same square reprojected into UTM zone 31N coordinates
+    xs = np.array([0.5, 2.5, 2.5, 0.5, 0.5])
+    ys = np.array([0.5, 0.5, 2.5, 2.5, 0.5])
+    ex, ny = transform_xy(xs, ys, "EPSG:4326", "EPSG:32631")
+    wkt = "POLYGON ((" + ", ".join(
+        f"{x!r} {y!r}" for x, y in zip(ex, ny)) + "))"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = exact_extract(
+            r, features_from_wkt(spark, [wkt], crs="EPSG:32631"),
+            ["sum", "count"],
+        ).collect()[0]
+    assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
+    assert got["count"] == pytest.approx(want["count"], rel=1e-9)
 
 
 def test_unused_weights_warn(spark):

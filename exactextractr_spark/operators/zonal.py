@@ -493,6 +493,66 @@ def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFra
     return cand.join(wlists, on=["tile_row", "tile_col"], how="left")
 
 
+def static_weight_lists(values_meta, weights: Raster) -> DataFrame:
+    """(tile_row, tile_col, wtiles) keyed by VALUE-raster tile index, built
+    entirely from the static weight raster — for stream-static joins where
+    the value tiles arrive as a stream and no stateful grouping may run on
+    the streaming side (``_attach_weights`` groups on the candidate side,
+    which Structured Streaming forbids before the final aggregate). Each
+    weight tile enumerates the value tiles it overlaps (pure arithmetic on
+    the value grid), then one STATIC groupBy collects the per-value-tile
+    weight lists; the streaming join is a stateless broadcast equi-join."""
+    wt = weights.tiles.select(
+        "xmin", "ymin", "xmax", "ymax",
+        F.struct(
+            F.col("xmin").alias("xmin"),
+            F.col("ymax").alias("ymax"),
+            F.col("dx").alias("dx"),
+            F.col("dy").alias("dy"),
+            F.col("nrows").alias("nrows"),
+            F.col("ncols").alias("ncols"),
+            F.col("px").alias("px"),
+        ).alias("wtile"),
+    )
+    m = values_meta
+    step_x = m.dx * m.tile_w
+    step_y = m.dy * m.tile_h
+    vr0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_rows - 1),
+            F.floor((F.lit(m.ymax) - F.col("ymax")) / F.lit(step_y) + F.lit(1e-9)),
+        ),
+    ).cast("int")
+    vr1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_rows - 1),
+            F.floor((F.lit(m.ymax) - F.col("ymin")) / F.lit(step_y) - F.lit(1e-9)),
+        ),
+    ).cast("int")
+    vc0 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_cols - 1),
+            F.floor((F.col("xmin") - F.lit(m.xmin)) / F.lit(step_x) + F.lit(1e-9)),
+        ),
+    ).cast("int")
+    vc1 = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m.n_tile_cols - 1),
+            F.floor((F.col("xmax") - F.lit(m.xmin)) / F.lit(step_x) - F.lit(1e-9)),
+        ),
+    ).cast("int")
+    expanded = wt.withColumn("tile_row", F.explode(F.sequence(vr0, vr1))).withColumn(
+        "tile_col", F.explode(F.sequence(vc0, vc1))
+    )
+    return expanded.groupBy("tile_row", "tile_col").agg(
+        F.collect_list("wtile").alias("wtiles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the coverage kernel as a mapInPandas stage
 # ---------------------------------------------------------------------------

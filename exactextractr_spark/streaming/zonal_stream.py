@@ -14,6 +14,12 @@ Only algebraic stats stream (count/sum/mean/min/max/variance/stdev/CV and
 weighted variants): frequency stats (mode/median/quantile/frac) need the
 full value distribution, which is unbounded state — compute those in batch
 over the ingested store instead.
+
+Weighted stats stream too: the weight raster is STATIC, so its tiles are
+pre-grouped per value-tile key on the batch side
+(``zonal.static_weight_lists``) and attached to the streaming tiles with a
+stateless broadcast stream-static join — the moments schema already
+carries the weighted sums, so the stateful aggregate is unchanged.
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ def stream_zonal_stats(
     *,
     meta: RasterMeta,
     checkpoint_dir: str,
+    weights=None,
     sink_dir: str | None = None,
     query_name: str = "zonal_stream",
     max_files_per_trigger: int = 16,
@@ -46,7 +53,11 @@ def stream_zonal_stats(
     is the resumable-pipeline shape: the newest snapshot is always a
     consistent answer over every tile ingested so far.
     """
-    from ..operators.zonal import FeatureBroadcast, coverage_facts
+    from ..operators.zonal import (
+        FeatureBroadcast,
+        coverage_facts,
+        static_weight_lists,
+    )
 
     if isinstance(stats, str):
         stats = [stats]
@@ -56,11 +67,20 @@ def stream_zonal_stats(
             "streaming zonal supports algebraic stats only; frequency stats "
             f"({sorted(plan.freq)}) need unbounded state — run them in batch"
         )
-    if plan.needs_weights:
-        raise ValueError(
-            "streaming zonal has no weight-raster plumbing; weighted stats "
-            "are batch-only"
-        )
+    if plan.needs_weights and weights is None:
+        raise ValueError(f"stats {sorted(set(stats))} require weights")
+    if weights is not None:
+        vg, wg = meta.grid, weights.meta.grid
+        if not vg.compatible_with(wg):
+            raise ValueError(
+                "weights grid is not compatible with the value grid "
+                "(resolutions must be integer multiples, origins aligned)"
+            )
+        if wg.dx < vg.dx or wg.dy < vg.dy:
+            raise ValueError(
+                "finer-than-value weight grids disaggregate the value "
+                "raster — batch-only; resample the weights first"
+            )
 
     rows = features.select(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
@@ -73,8 +93,16 @@ def stream_zonal_stats(
         .parquet(source_dir)
     )
     tiles = raw_tiles_with_meta(raw, layer=meta.layer)
+    if weights is not None:
+        from pyspark.sql import functions as F
+
+        wlists = static_weight_lists(meta, weights)
+        tiles = tiles.join(
+            F.broadcast(wlists), on=["tile_row", "tile_col"], how="left"
+        )
     moments = coverage_facts(
-        tiles, emit="moments", feats_bc=feats_bc, values_meta=meta
+        tiles, emit="moments", feats_bc=feats_bc, values_meta=meta,
+        weighted=weights is not None,
     )
     agg = moments.groupBy("feature_id").agg(*plan.algebraic_aggs_from_moments())
     fin = plan.finalize_columns()

@@ -107,6 +107,56 @@ def test_minhash_simhash_edge_docs(spark):
     assert h[1] == 0 and h[3] == 0
 
 
+def test_minhash_simhash_known_answers(spark):
+    """Seeded known-answer goldens for the hash kernels (DuckDB cannot
+    mirror the hash family, so the driver records these queries as
+    no_oracle — this pins the VALUES, not just shapes). Any change to the
+    shingle rolling hash, the multiply-shift family, or the bit-matrix
+    sign sums shows up here."""
+    import pandas as pd
+
+    from exactextractr_spark.operators.dedup import minhash_signatures, simhash64
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "sphinx of black quartz judge my vow",
+            "the quick brown fox jumps over the lazy dog",
+        ],
+    }))
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            minhash_signatures(docs, num_hashes=8, shingle_k=3, seed=42).collect()}
+    golden = {
+        1: [321022030294301718, 570546306542677580, 1250174818650253714,
+            778733266850867466, 3073721425572342804, 7021833932026548041,
+            255767521997579861, 345327278484161970],
+        2: [798503906346925101, 570546306542677580, 3271123988923900582,
+            778733266850867466, 3073721425572342804, 20598271643929218,
+            255767521997579861, 345327278484161970],
+        3: [5574837207852944627, 1513388764651859570, 1536784753069445263,
+            685888809004333846, 1351452195284279348, 1250532786385750810,
+            6551923719596726976, 590582491197991863],
+        4: [58841237747295295, 409562384324189910, 1189365860850142621,
+            5614676459701630312, 1425214595263942584, 7907395611434001301,
+            -9214194210973498240, 8815417622008964259],
+    }
+    golden[5] = golden[1]  # identical text -> identical signature
+    assert sigs == golden
+    # near-dup docs 1/2 share most minhash entries (Jaccard estimate > 0.5)
+    assert sum(a == b for a, b in zip(sigs[1], sigs[2])) == 5
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh == {
+        1: -1694217102517104280,
+        2: -1556859517200656276,
+        3: 7406011269483192384,
+        4: 8151218429091431610,
+        5: -1694217102517104280,
+    }
+
+
 def test_text_stats(spark, docs):
     from exactextractr_spark.operators.textstats import (
         fingerprint,
@@ -321,6 +371,33 @@ def test_streaming_zonal_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="algebraic"):
         stream_zonal_stats(spark, src, feats, ["median"], meta=meta,
                            checkpoint_dir=str(tmp_path / "ck2"))
+
+    # weighted stats stream: static weight raster attached per micro-batch
+    # (coarser 2x2-cell weight grid exercises the coordinate lookup)
+    warr = ((np.arange(36).reshape(6, 6) % 7) + 1).astype(np.float64)
+    wmeta = RasterMeta("w", xmin=0, ymax=12, dx=2, dy=2, width=6, height=6,
+                       tile_w=3, tile_h=3)
+    wraster = Raster.from_array(spark, warr, wmeta)
+    wstats = ["weighted_mean", "weighted_sum", "weighted_count"]
+    qw = stream_zonal_stats(
+        spark, src, feats, wstats, meta=meta, weights=wraster,
+        checkpoint_dir=str(tmp_path / "ckw"), query_name="zs_test_w",
+        max_files_per_trigger=1,
+    )
+    qw.awaitTermination(180)
+    got_w = {r["feature_id"]: r.asDict()
+             for r in spark.table("zs_test_w").collect()}
+    want_w = {r["feature_id"]: r.asDict()
+              for r in exact_extract(Raster.from_tiles(tiles, meta), feats,
+                                     wstats, weights=wraster).collect()}
+    assert set(got_w) == set(want_w)
+    for fid in want_w:
+        for s in wstats:
+            assert got_w[fid][s] == pytest.approx(want_w[fid][s], rel=1e-12), (fid, s)
+    # weighted stats without a weight raster still refuse
+    with pytest.raises(ValueError, match="require weights"):
+        stream_zonal_stats(spark, src, feats, ["weighted_mean"], meta=meta,
+                           checkpoint_dir=str(tmp_path / "ck3"))
 
 
 def _wav_bytes(samples: np.ndarray, sr: int, channels: int = 1) -> bytes:

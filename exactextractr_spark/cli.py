@@ -41,10 +41,18 @@ def _raster_meta_from_caption(caption: str, tile_w: int, tile_h: int):
 
 def main(argv=None):
     p = argparse.ArgumentParser("exactextractr-spark")
-    p.add_argument("--polys", required=True, help="parquet with features")
+    p.add_argument("--polys", required=True,
+                   help="parquet with features, or a .gpkg feature table")
     p.add_argument("--id", default="feature_id")
     p.add_argument("--geom", default="geom")
-    p.add_argument("--tiles", required=True, help="parquet image+caption tile table")
+    p.add_argument("--table", default=None,
+                   help="feature table name inside a .gpkg (default: the "
+                   "only one)")
+    p.add_argument("--tiles", required=True,
+                   help="parquet image+caption tile table, or a .tif GeoTIFF")
+    p.add_argument("--weight-tiles", default=None,
+                   help="separate raster file for weights (.tif); for "
+                   "parquet multi-layer tables use --weight-layer")
     p.add_argument("--layer", default=None, help="value layer name")
     p.add_argument("--weight-layer", default=None)
     p.add_argument("--stat", action="append", required=True,
@@ -84,23 +92,43 @@ def main(argv=None):
 
     from pyspark.sql import functions as F
 
-    tiles = spark.read.parquet(args.tiles)
-    if args.weight_layer and not args.layer:
+    is_tif = args.tiles.lower().endswith((".tif", ".tiff"))
+    if is_tif:
+        from .sources.geotiff import read_geotiff
+
+        values = read_geotiff(spark, args.tiles, layer=args.layer)
+        weights = None
+        if args.weight_layer:
+            raise SystemExit(
+                "--weight-layer applies to multi-layer parquet tables; for "
+                "GeoTIFF weights pass --weight-tiles"
+            )
+    if args.weight_tiles:
+        if not args.weight_tiles.lower().endswith((".tif", ".tiff")):
+            raise SystemExit("--weight-tiles must be a GeoTIFF (.tif)")
+        from .sources.geotiff import read_geotiff
+
+        weights = read_geotiff(spark, args.weight_tiles)
+    if not is_tif:
+        tiles = spark.read.parquet(args.tiles)
+    if not is_tif and args.weight_layer and not args.layer:
         # without --layer, "whatever tile is first" could silently bind the
         # value raster to the weight layer's grid/nodata
         raise SystemExit("--layer is required when --weight-layer is given")
-    vtiles = tiles
-    if args.layer:
-        vtiles = tiles.filter(
-            F.get_json_object("caption", "$.layer") == args.layer
-        )
-    vfirst = vtiles.limit(1).collect()
-    if not vfirst:
-        raise ValueError(f"no tiles found for layer {args.layer!r}")
-    vmeta = _raster_meta_from_caption(vfirst[0]["caption"], vfirst[0]["w"], vfirst[0]["h"])
-    values = Raster.from_tiles(tiles, vmeta)
-    weights = None
-    if args.weight_layer:
+    if not is_tif:
+        vtiles = tiles
+        if args.layer:
+            vtiles = tiles.filter(
+                F.get_json_object("caption", "$.layer") == args.layer
+            )
+        vfirst = vtiles.limit(1).collect()
+        if not vfirst:
+            raise ValueError(f"no tiles found for layer {args.layer!r}")
+        vmeta = _raster_meta_from_caption(vfirst[0]["caption"], vfirst[0]["w"], vfirst[0]["h"])
+        values = Raster.from_tiles(tiles, vmeta)
+        if not args.weight_tiles:
+            weights = None
+    if not is_tif and args.weight_layer:
         # the weight layer may sit on its own grid (e.g. finer resolution,
         # triggering value disaggregation) — read ITS caption, not the
         # value layer's
@@ -114,7 +142,14 @@ def main(argv=None):
         )
         weights = Raster.from_tiles(tiles, wmeta)
 
-    feats = prepare_features(spark.read.parquet(args.polys), args.id, args.geom)
+    if args.polys.lower().endswith(".gpkg"):
+        from .sources.geopackage import read_gpkg
+
+        feats = read_gpkg(spark, args.polys, table=args.table)
+    else:
+        feats = prepare_features(
+            spark.read.parquet(args.polys), args.id, args.geom
+        )
 
     if args.linear and args.checkpoint_dir:
         raise SystemExit("--linear cannot be combined with --checkpoint-dir "

@@ -81,3 +81,30 @@ def test_cli_linear_mode(spark, tmp_path):
     row = spark.read.parquet(out_path).collect()[0]
     assert row["m"] == pytest.approx(4.0)       # (3+4+5)/3 length-weighted
     assert row["v_count"] == pytest.approx(3.0)  # total traversal length
+
+
+def test_cli_geotiff_gpkg_inputs(spark, tmp_path):
+    """CLI accepts a .tif raster and a .gpkg feature table directly
+    (the reference CLI's GDAL ingestion, exactextract.cpp:42-101)."""
+    import os
+
+    sao = "/root/reference/inst/sao_miguel"
+    if not os.path.isdir(sao):
+        pytest.skip("reference data not present")
+    from exactextractr_spark.cli import main
+
+    out_path = str(tmp_path / "out")
+    main(
+        [
+            "--polys", f"{sao}/concelhos.gpkg",
+            "--tiles", f"{sao}/gpw_v411_2020_count_2020.tif",
+            "--stat", "pop=sum(gpw_v411_2020_count_2020)",
+            "-o", out_path,
+        ]
+    )
+    rows = {r["feature_id"]: r["pop"]
+            for r in spark.read.parquet(out_path).collect()}
+    assert len(rows) == 6
+    # Ponta Delgada (fid 3) dominates the island's population
+    assert rows[3] == max(rows.values())
+    assert rows[3] == pytest.approx(66866.708, rel=1e-6)

@@ -72,7 +72,12 @@ def main(argv=None):
         help="features are LineStrings: stats weight by per-cell traversal "
         "length (the reference CLI's linear mode; weighted stats invalid)",
     )
-    p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    p.add_argument("--format", choices=["parquet", "csv", "geojson"],
+                   default="parquet",
+                   help="geojson writes ONE FeatureCollection with the input "
+                   "geometries + stat properties (the reference CLI's OGR "
+                   "output, gdal_writer.h:25-54); result tables are "
+                   "per-feature and small, so this is a driver-side write")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -178,9 +183,34 @@ def main(argv=None):
             out = out.withColumnRenamed(d.stat, d.name)
     if args.format == "csv":
         out.write.mode("overwrite").option("header", "true").csv(args.output)
+    elif args.format == "geojson":
+        from .core.geom import from_wkb, to_geojson
+
+        geoms = {
+            r["feature_id"]: bytes(r["geom"])
+            for r in feats.select("feature_id", "geom").collect()
+        }
+        features_json = []
+        for r in out.collect():
+            props = {k: v for k, v in r.asDict().items() if k != "feature_id"}
+            features_json.append(
+                {
+                    "type": "Feature",
+                    "id": r["feature_id"],
+                    "geometry": to_geojson(from_wkb(geoms[r["feature_id"]])),
+                    "properties": props,
+                }
+            )
+        with open(args.output, "w") as f:
+            json.dump(
+                {"type": "FeatureCollection", "features": features_json}, f
+            )
     else:
         out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.format(args.format).option("header", "true").load(args.output).count()
+    if args.format == "geojson":
+        n = len(features_json)
+    else:
+        n = spark.read.format(args.format).option("header", "true").load(args.output).count()
     print(
         json.dumps(
             {"rows": n, "wall_sec": round(time.time() - t0, 2),

@@ -310,6 +310,39 @@ def from_wkt(text: str) -> Geometry:
     raise ValueError(f"unsupported WKT type {name}")
 
 
+def to_geojson(geom: Geometry) -> dict:
+    """RFC 7946 geometry object (for the CLI's GeoJSON sink — the
+    reference CLI writes any OGR format, gdal_writer.h:25-54)."""
+    k = geom.kind
+    if k == "Point":
+        return {"type": "Point", "coordinates": list(map(float, geom.coords))}
+    if k == "LineString":
+        return {"type": "LineString", "coordinates": geom.coords.tolist()}
+    if k == "Polygon":
+        return {"type": "Polygon", "coordinates": [r.tolist() for r in geom.rings]}
+    if k == "MultiPoint":
+        return {
+            "type": "MultiPoint",
+            "coordinates": [list(map(float, p.coords)) for p in geom.parts],
+        }
+    if k == "MultiLineString":
+        return {
+            "type": "MultiLineString",
+            "coordinates": [p.coords.tolist() for p in geom.parts],
+        }
+    if k == "MultiPolygon":
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [[r.tolist() for r in p.rings] for p in geom.parts],
+        }
+    if k == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [to_geojson(p) for p in geom.parts],
+        }
+    raise ValueError(f"cannot serialize {k} to GeoJSON")
+
+
 def box_wkt(xmin: float, ymin: float, xmax: float, ymax: float) -> str:
     return (
         f"POLYGON (({xmin} {ymin}, {xmax} {ymin}, {xmax} {ymax}, "

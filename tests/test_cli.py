@@ -108,3 +108,32 @@ def test_cli_geotiff_gpkg_inputs(spark, tmp_path):
     # Ponta Delgada (fid 3) dominates the island's population
     assert rows[3] == max(rows.values())
     assert rows[3] == pytest.approx(66866.708, rel=1e-6)
+
+
+def test_cli_geojson_sink(spark, tmp_path):
+    """--format geojson writes a FeatureCollection with input geometries
+    and stat properties (reference CLI OGR output parity)."""
+    import json as _json
+
+    from exactextractr_spark.cli import main
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    arr = np.arange(1.0, 37.0).reshape(6, 6)
+    meta = RasterMeta("v", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                      tile_w=3, tile_h=3)
+    tiles_path = str(tmp_path / "tiles")
+    tile_table_from_array(spark, arr, meta).write.parquet(tiles_path)
+    feats_path = str(tmp_path / "feats")
+    features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"]
+    ).select("feature_id", "geom").write.parquet(feats_path)
+    out_path = str(tmp_path / "out.geojson")
+    main(["--polys", feats_path, "--tiles", tiles_path,
+          "--stat", "m=mean(v)", "--format", "geojson", "-o", out_path])
+    fc = _json.load(open(out_path))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 1
+    ft = fc["features"][0]
+    assert ft["geometry"]["type"] == "Polygon"
+    assert ft["geometry"]["coordinates"][0][0] == [0.5, 0.5]
+    assert ft["properties"]["m"] == pytest.approx(26.0)

@@ -295,6 +295,19 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, greedy-by-id keep rule (drop when a
+    smaller-id item is >= threshold cosine). Exact mode == the DuckDB
+    all-pairs oracle; threshold 0.46 sits in a wide gap of the synthetic
+    cosine distribution so float-fold differences cannot flip a pair."""
+    _tune(spark)
+    from exactextractr_spark.operators.dedup import embedding_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedup(emb, 0.46)
+    return out.select("vec_id", F.col("near_dups").cast("long").alias("near_dups"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -739,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_sum": _q_resample,
         "knn_ring": _q_knn,
         "cosine_topk": _q_cosine_topk,
+        "embedding_dedup": _q_embedding_dedup,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "minhash_dedup": _q_minhash_dedup,
@@ -925,6 +939,19 @@ WITH qs AS (
   FROM scored
 )
 SELECT qid, item_id, rank FROM ranked WHERE rank <= 10
+""",
+        "embedding_dedup": """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.46
+)
+SELECT e.vec_id, COALESCE(c.n, 0) AS near_dups
+FROM embeddings e
+LEFT JOIN (SELECT id_a, COUNT(*) AS n FROM pairs GROUP BY id_a) c
+  ON e.vec_id = c.id_a
+WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
 """,
         "dedup_exact": r"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

@@ -346,3 +346,69 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_dedup(
+    items: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "exact",
+    dim: int | None = None,
+    bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (greedy-by-id): an item is
+    DROPPED when any smaller-id item has cosine similarity >= ``threshold``
+    with it; kept items carry ``near_dups`` = their count of larger-id
+    neighbors above the threshold. The rule is order-free and exactly
+    SQL-expressible, so the exact mode is DuckDB-oracle-checkable.
+
+    ``mode='exact'`` scores all id-ordered pairs (broadcast nested-loop at
+    small N — the correctness baseline). ``mode='lsh'`` is the 100-TB path:
+    candidate pairs come from the shared random-hyperplane band buckets
+    (``similarity.band_key_udf``), then the SAME exact cosine filter + keep
+    rule run on the candidates only — the join is an equi-join on the band
+    key, never all-pairs; recall < 1 by construction (raise ``bands``).
+    Cosine math is all JVM (``aggregate``/``zip_with`` double fold).
+    """
+    from .similarity import _dot, _norm, band_key_udf
+
+    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if mode == "exact":
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        if dim is None:
+            raise ValueError("mode='lsh' requires dim=")
+        band_keys = band_key_udf(dim, bits, bands, seed)
+        ak = a.withColumn("bkey", F.explode(band_keys(F.col("_va"))))
+        bk = b.withColumn("bkey", F.explode(band_keys(F.col("_vb"))))
+        cand = (
+            ak.join(bk, on="bkey")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        (
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= F.lit(threshold))
+    # pairs is consumed twice (drop set + neighbor counts): keep it
+    pairs = pairs.persist()
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count("*").alias("near_dups")
+    )
+    kept = items.select(id_col).join(dropped, on=id_col, how="left_anti")
+    return (
+        kept.join(counts, on=id_col, how="left")
+        .withColumn("near_dups", F.coalesce("near_dups", F.lit(0)))
+    )

@@ -75,6 +75,32 @@ def hyperplane_signature(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def band_key_udf(dim: int, bits: int, bands: int, seed: int = 42):
+    """Factory for the vectorized LSH band-key pandas UDF (shared by
+    ``lsh_cosine_topk`` and ``dedup.embedding_dedup``): one batch matmul
+    against the hyperplanes, bit-packed per band — zero per-row Python."""
+    planes = hyperplane_signature(dim, bits, seed)
+    per_band = bits // bands
+    _pw = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    _offs = np.arange(bands, dtype=np.int64) * (1 << per_band)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)      # (N, dim)
+        signs = (M @ planes.T) > 0                             # (N, bits)
+        keys = (
+            signs[:, : bands * per_band]
+            .reshape(len(vecs), bands, per_band)
+            .astype(np.int64)
+            @ _pw
+        ) + _offs                                              # (N, bands)
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def lsh_cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -93,28 +119,7 @@ def lsh_cosine_topk(
     broadcast of queries or a full cross product is impossible — then exact
     re-rank within candidates. Recall < 1 by construction; increase bands
     for higher recall."""
-    planes = hyperplane_signature(dim, bits, seed)
-    per_band = bits // bands
-
-    # MSB-first powers of two: a band's bit slice dotted with this vector is
-    # the same integer the old per-bit loop built (key = key*2 + bit)
-    _pw = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
-    _offs = (np.arange(bands, dtype=np.int64) * (1 << per_band))
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def band_keys(vecs: pd.Series) -> pd.Series:
-        # one batch matmul for the whole Arrow batch — zero per-row Python
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        M = np.vstack(vecs.to_numpy()).astype(np.float64)      # (N, dim)
-        signs = (M @ planes.T) > 0                             # (N, bits)
-        keys = (
-            signs[:, : bands * per_band]
-            .reshape(len(vecs), bands, per_band)
-            .astype(np.int64)
-            @ _pw
-        ) + _offs                                              # (N, bands)
-        return pd.Series(list(keys))
+    band_keys = band_key_udf(dim, bits, bands, seed)
 
     it = items.withColumn("bkey", F.explode(band_keys(F.col(vec_col))))
     qq = queries.select(

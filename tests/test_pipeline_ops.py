@@ -157,6 +157,43 @@ def test_minhash_simhash_known_answers(spark):
     }
 
 
+def test_embedding_dedup(spark):
+    """Greedy-by-id cosine dedup: exact mode vs a numpy oracle; LSH mode
+    drops a subset of what exact drops (candidates ⊆ all pairs) and
+    reaches full agreement on a planted-near-dup corpus."""
+    import pandas as pd
+
+    from exactextractr_spark.operators.dedup import embedding_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16))
+    # plant near-dups: vectors 20..29 are tiny perturbations of 0..9
+    base[20:30] = base[0:10] + rng.normal(scale=0.01, size=(10, 16))
+    ids = np.arange(1, 31)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": ids, "embedding": [r.astype(np.float64) for r in base]
+    }))
+    got = {r["vec_id"]: r["near_dups"]
+           for r in embedding_dedup(df, 0.99).collect()}
+    # numpy oracle
+    M = base / np.linalg.norm(base, axis=1, keepdims=True)
+    S = M @ M.T
+    pairs = {(ids[i], ids[j]) for i in range(30) for j in range(i + 1, 30)
+             if S[i, j] >= 0.99}
+    dropped = {b for _, b in pairs}
+    want = {int(i): sum(1 for a, _ in pairs if a == i)
+            for i in ids if i not in dropped}
+    assert got == want
+    assert set(got) == set(range(1, 21))  # the 10 planted dups dropped
+    # LSH mode: many bands on 16 planes -> near-identical vectors always
+    # collide; same keep set here, and never drops more than exact
+    lsh = {r["vec_id"]: r["near_dups"]
+           for r in embedding_dedup(df, 0.99, mode="lsh", dim=16,
+                                    bits=16, bands=16).collect()}
+    assert set(lsh) >= set(got)
+    assert set(lsh) - set(got) == set()  # full recall on planted dups
+
+
 def test_text_stats(spark, docs):
     from exactextractr_spark.operators.textstats import (
         fingerprint,

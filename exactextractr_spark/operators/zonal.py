@@ -1084,8 +1084,6 @@ def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
     """Frequency-map stats over groupBy(fid, v): mode/minority/variety/
     median/quantile/frac/weighted_frac (ref raster_stats.h:176-230, 281-304,
     393-411)."""
-    from pyspark.sql.window import Window
-
     pieces: list[DataFrame] = []
     fid = F.col("feature_id")
 

@@ -50,9 +50,30 @@ def main():
         "zonal_mode_minority_variety": (
             "Frequency stats (mode/minority/variety)",
             "Kernel emits per-(feature,tile,value) partial sums (map-side "
-            "combine of the groupBy(fid, v) shuffle); window argmax per "
-            "feature afterwards. Shuffle volume scales with distinct values, "
-            "not covered cells.",
+            "combine of the groupBy(fid, v) shuffle); mode+minority+variety "
+            "then FUSE into one groupBy(feature_id) aggregate via "
+            "max_by/min_by over struct(sum_c, v) — single exchange, no "
+            "window operators, no full-outer join chain (struct-ordered "
+            "max_by compiles to a partial SortAggregate: the Sorts in this "
+            "plan are per-partition locals inside the aggregate, not extra "
+            "exchanges). Shuffle volume scales with distinct values, not "
+            "covered cells.",
+        ),
+        "rasterize_argmax": (
+            "rasterize_polygons (argmax burn-in)",
+            "ONE groupBy(cell) aggregate: max_by(feature_id, struct(cov, "
+            "-feature_id)) realizes the argmax with the lowest-id tie rule "
+            "and sum(cov) the min_coverage gate in the same pass — a single "
+            "Exchange on cell, partial aggregation before it, no window "
+            "sort exchanges (the round-2 plan had two).",
+        ),
+        "embedding_dedup": (
+            "Embedding-cosine near-dup dedup (greedy-by-id)",
+            "Exact mode: id-ordered nested-loop pair scoring (JVM fold "
+            "cosine), one persist of the thresholded pairs feeding the "
+            "anti-join drop set and the neighbor counts. The LSH mode "
+            "swaps the pair source for a (band, bucket) equi-join "
+            "(similarity.band_key_udf) — never all-pairs at scale.",
         ),
         "candidate_tiles": (
             "Cover join (raster-sequential strategy), metadata only",

@@ -366,23 +366,62 @@ def embedding_dedup(
     neighbors above the threshold. The rule is order-free and exactly
     SQL-expressible, so the exact mode is DuckDB-oracle-checkable.
 
-    ``mode='exact'`` scores all id-ordered pairs (broadcast nested-loop at
-    small N — the correctness baseline). ``mode='lsh'`` is the 100-TB path:
-    candidate pairs come from the shared random-hyperplane band buckets
-    (``similarity.band_key_udf``), then the SAME exact cosine filter + keep
+    ``mode='exact'`` broadcasts the (bounded) normalized vector matrix and
+    scores each Arrow batch against it with ONE numpy matmul — O(N²/P)
+    FLOPs distributed over executors, no pair rows ever shuffled; it
+    refuses above 200k vectors (all-pairs is the correctness baseline,
+    not the scale path — a 2M-pair JVM fold costs ~60s where the matmul
+    costs milliseconds). ``mode='lsh'`` is the 100-TB path: candidate
+    pairs come from the shared random-hyperplane band buckets
+    (``similarity.band_key_udf``), then the exact JVM cosine filter + keep
     rule run on the candidates only — the join is an equi-join on the band
     key, never all-pairs; recall < 1 by construction (raise ``bands``).
-    Cosine math is all JVM (``aggregate``/``zip_with`` double fold).
     """
     from .similarity import _dot, _norm, band_key_udf
 
-    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if mode == "exact":
-        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+        rows = (
+            items.select(id_col, vec_col).orderBy(id_col).limit(200_001).collect()
+        )
+        if len(rows) > 200_000:
+            raise ValueError(
+                "embedding_dedup(mode='exact') is the bounded all-pairs "
+                "baseline; use mode='lsh' above 200k vectors"
+            )
+        ids_all = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        nrm = np.linalg.norm(M, axis=1)
+        M /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        bc = items.sparkSession.sparkContext.broadcast((ids_all, M))
+        pair_schema = T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+            ]
+        )
+
+        def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_b, Mb = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                n = np.linalg.norm(B, axis=1)
+                B /= np.where(n == 0.0, 1.0, n)[:, None]
+                bid = pdf[id_col].to_numpy().astype(np.int64)
+                S = B @ Mb.T
+                ii, jj = np.nonzero(S >= threshold)
+                keep = bid[ii] < ids_b[jj]
+                yield pd.DataFrame(
+                    {"id_a": bid[ii][keep], "id_b": ids_b[jj][keep]}
+                )
+
+        pairs = items.select(id_col, vec_col).mapInPandas(_pairs, pair_schema)
     elif mode == "lsh":
         if dim is None:
             raise ValueError("mode='lsh' requires dim=")
+        a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         band_keys = band_key_udf(dim, bits, bands, seed)
         ak = a.withColumn("bkey", F.explode(band_keys(F.col("_va"))))
         bk = b.withColumn("bkey", F.explode(band_keys(F.col("_vb"))))
@@ -391,16 +430,16 @@ def embedding_dedup(
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        pairs = cand.select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= F.lit(threshold)).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    pairs = cand.select(
-        "id_a",
-        "id_b",
-        (
-            _dot(F.col("_va"), F.col("_vb"))
-            / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= F.lit(threshold))
     # pairs is consumed twice (drop set + neighbor counts): keep it
     pairs = pairs.persist()
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -464,3 +464,168 @@ def read_geotiff(
 
     df = desc.mapInPandas(_read, DECODED_SCHEMA)
     return Raster(df, meta, decoded=True)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _tiff_dtype_tags(arr: np.ndarray) -> "tuple[int, int]":
+    """(bits-per-sample, sample-format) for the array dtype."""
+    if arr.dtype.kind == "f":
+        if arr.dtype.itemsize not in (4, 8):
+            raise ValueError(f"unsupported float size {arr.dtype}")
+        return arr.dtype.itemsize * 8, 3
+    if arr.dtype.kind == "u":
+        return arr.dtype.itemsize * 8, 1
+    if arr.dtype.kind == "i":
+        return arr.dtype.itemsize * 8, 2
+    raise ValueError(f"unsupported dtype {arr.dtype}")
+
+
+def write_geotiff(
+    path: str,
+    arr: np.ndarray,
+    *,
+    xmin: float,
+    ymax: float,
+    dx: float,
+    dy: float | None = None,
+    crs: str = "EPSG:4326",
+    nodata: float | None = None,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+) -> None:
+    """Write a single-band GeoTIFF (little-endian classic TIFF, strip
+    layout, deflate or uncompressed) — the raster-sink analog of the
+    reference CLI's GDAL writer (``gdal_writer.h:25-54``). NaNs are
+    written as ``nodata`` when given (and the GDAL nodata tag is set).
+
+    Driver-side by design: the natural inputs are ``exact_resample`` /
+    ``rasterize_polygons`` destination grids, which are small relative to
+    their sources (a distributed sharded writer would need compressed
+    strip sizes before offsets can be laid out)."""
+    import zlib
+
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("write_geotiff takes a 2-D single-band array")
+    dy = dx if dy is None else dy
+    h, w = arr.shape
+    if nodata is not None and arr.dtype.kind == "f":
+        arr = np.where(np.isnan(arr), nodata, arr)
+    bps, fmt = _tiff_dtype_tags(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+
+    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    if comp_code is None:
+        raise ValueError("compression must be 'none' or 'deflate'")
+    chunks = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = np.ascontiguousarray(arr[r0 : r0 + rows_per_strip]).tobytes()
+        chunks.append(zlib.compress(raw) if comp_code == 8 else raw)
+
+    # GeoKeys: geographic vs projected EPSG
+    epsg = None
+    c = crs.strip().upper()
+    if c.startswith("EPSG:"):
+        try:
+            epsg = int(c.split(":")[1])
+        except ValueError:
+            epsg = None
+    if epsg is not None and (epsg == 4326 or 4000 <= epsg < 5000):
+        geokeys = (1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, epsg)
+    elif epsg is not None:
+        geokeys = (1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
+    else:
+        geokeys = (1, 1, 0, 1, 1024, 0, 1, 0)
+
+    entries: "list[tuple[int, int, object]]" = []
+
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(_T_WIDTH, 3, [w])
+    add(_T_HEIGHT, 3, [h])
+    add(_T_BPS, 3, [bps])
+    add(_T_COMPRESSION, 3, [comp_code])
+    add(262, 3, [1])  # photometric: BlackIsZero
+    add(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+    add(_T_SPP, 3, [1])
+    add(_T_SAMPLE_FORMAT, 3, [fmt])
+    add(_T_PIXEL_SCALE, 12, [dx, dy, 0.0])
+    add(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
+    add(_T_GEO_KEYS, 3, list(geokeys))
+    if nodata is not None:
+        nod = np.format_float_positional(float(nodata), trim="-")
+        add(_T_GDAL_NODATA, 2, nod.encode() + b"\x00")
+
+    header_sz, inline = 8, 4
+    body = bytearray()
+    offsets = []
+    for ch in chunks:
+        offsets.append(header_sz + len(body))
+        body += ch
+    add(_T_STRIP_OFFSETS, 4, offsets)
+    add(_T_STRIP_COUNTS, 4, [len(ch) for ch in chunks])
+    entries.sort(key=lambda e: e[0])
+
+    type_fmt = {3: "H", 4: "I", 12: "d"}
+    payloads = []
+    for tag, typ, vals in entries:
+        if typ == 2:
+            pay, cnt = bytes(vals), len(vals)
+        else:
+            pay = struct.pack("<" + type_fmt[typ] * len(vals), *vals)
+            cnt = len(vals)
+        payloads.append((tag, typ, cnt, pay))
+    ext_base = header_sz + len(body)
+    ext = bytearray()
+    ifd_entries = []
+    for tag, typ, cnt, pay in payloads:
+        if len(pay) <= inline:
+            val = pay + b"\x00" * (inline - len(pay))
+        else:
+            val = struct.pack("<I", ext_base + len(ext))
+            ext += pay
+        ifd_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+    ifd_off = ext_base + len(ext)
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        f.write(body)
+        f.write(ext)
+        f.write(struct.pack("<H", len(ifd_entries)))
+        for e in ifd_entries:
+            f.write(e)
+        f.write(struct.pack("<I", 0))
+
+
+def resample_to_geotiff(
+    facts: "DataFrame",
+    dst_meta: RasterMeta,
+    path: str,
+    *,
+    fill: float = float("nan"),
+    dtype: str = "float64",
+    compression: str = "deflate",
+) -> None:
+    """Materialize an ``exact_resample`` result (dst_row, dst_col, value)
+    onto ``dst_meta``'s grid and write it as a GeoTIFF — the full
+    read-tif → resample → write-tif round the reference performs through
+    GDAL."""
+    arr = np.full((dst_meta.height, dst_meta.width), fill, dtype=dtype)
+    for r in facts.collect():
+        arr[int(r["dst_row"]), int(r["dst_col"])] = r["value"]
+    nodata = None if np.isnan(fill) else float(fill)
+    write_geotiff(
+        path,
+        arr,
+        xmin=dst_meta.xmin,
+        ymax=dst_meta.ymax,
+        dx=dst_meta.dx,
+        dy=dst_meta.dy,
+        crs=dst_meta.crs or "EPSG:4326",
+        nodata=nodata,
+        compression=compression,
+    )

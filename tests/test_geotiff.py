@@ -390,3 +390,68 @@ def test_vignette_population_end_to_end(spark):
         # population concentrates along the coast (low elevation): the
         # weighted mean sits below the unweighted mean in every concelho
         assert r["weighted_mean"] < r["mean"]
+
+
+def test_write_geotiff_roundtrip(spark, tmp_path):
+    """Package writer -> package reader round-trip, incl. nodata<->NaN."""
+    from exactextractr_spark.sources.geotiff import (
+        read_geotiff,
+        read_tiff_info,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.uniform(-5, 5, (41, 29))
+    arr[3, 7] = np.nan
+    p = str(tmp_path / "w.tif")
+    write_geotiff(p, arr, xmin=-10.0, ymax=50.0, dx=0.25, crs="EPSG:32633",
+                  nodata=-9999.0)
+    info = read_tiff_info(p)
+    assert (info.width, info.height) == (29, 41)
+    assert info.crs == "EPSG:32633"
+    assert info.nodata == -9999.0
+    got = _collect_array(read_geotiff(spark, p))
+    want = arr.copy()
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(got[~np.isnan(want)], want[~np.isnan(want)])
+
+
+@pytest.mark.skipif(not os.path.isdir(SAO), reason="reference data not present")
+def test_reference_raster_rewrite_identical(spark, tmp_path):
+    """read reference tif -> write -> re-read: pixel-identical."""
+    from exactextractr_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    src = read_geotiff(spark, f"{SAO}/gpw_v411_2020_density_2020.tif")
+    arr = _collect_array(src)
+    p = str(tmp_path / "re.tif")
+    write_geotiff(p, arr, xmin=src.meta.xmin, ymax=src.meta.ymax,
+                  dx=src.meta.dx, dy=src.meta.dy, crs=src.meta.crs,
+                  nodata=-3.4028230607370965e+38)
+    back = _collect_array(read_geotiff(spark, p))
+    np.testing.assert_array_equal(np.isnan(back), np.isnan(arr))
+    np.testing.assert_array_equal(back[~np.isnan(arr)], arr[~np.isnan(arr)])
+
+
+def test_resample_to_geotiff(spark, tmp_path):
+    """tif -> exact_resample -> tif: sum preserved on aligned grids
+    (the reference round-trip through GDAL, test_exact_resample.R:16-43)."""
+    from exactextractr_spark.operators.resample import exact_resample
+    from exactextractr_spark.sources.geotiff import (
+        read_geotiff,
+        resample_to_geotiff,
+        write_geotiff,
+    )
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    arr = np.arange(1.0, 65.0).reshape(8, 8)
+    src_p = str(tmp_path / "src.tif")
+    write_geotiff(src_p, arr, xmin=0.0, ymax=8.0, dx=1.0)
+    src = read_geotiff(spark, src_p)
+    dst_meta = RasterMeta("d", xmin=0, ymax=8, dx=2, dy=2, width=4, height=4,
+                          tile_w=4, tile_h=4, crs="EPSG:4326")
+    facts = exact_resample(src, dst_meta, "sum")
+    out_p = str(tmp_path / "dst.tif")
+    resample_to_geotiff(facts, dst_meta, out_p)
+    back = _collect_array(read_geotiff(spark, out_p))
+    assert np.nansum(back) == pytest.approx(arr.sum())
+    assert back[0, 0] == pytest.approx(arr[0:2, 0:2].sum())

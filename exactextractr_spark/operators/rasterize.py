@@ -56,7 +56,11 @@ def blank_raster(spark: SparkSession, meta: RasterMeta) -> Raster:
                         "dy": meta.dy,
                         "nrows": g.nrows,
                         "ncols": g.ncols,
-                        "px": np.zeros(g.nrows * g.ncols),
+                        # value-less target: the kernel runs coverage_only,
+                        # so no pixel payload is materialized or shipped
+                        # (a 256² float64 zero block per tile is ~0.5 MB of
+                        # pure Arrow waste otherwise)
+                        "px": np.zeros(0),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -79,7 +83,7 @@ def rasterize_polygons(
     cand, feats_bc = build_candidates(target, features)
     facts = coverage_facts(
         cand, feats_bc=feats_bc, values_meta=meta, include_cell=True,
-        keep_nodata=True
+        keep_nodata=True, coverage_only=True,
     ).select("feature_id", "cell", "cov")
     # Argmax + total-coverage gate in ONE hash aggregate (no sort windows).
     # Struct comparison is lexicographic: highest cov wins; on a cov tie the

@@ -575,6 +575,7 @@ def coverage_facts(
     feats_bc=None,
     disagg: "tuple[int, int]" = (1, 1),
     by_layer: bool = False,
+    coverage_only: bool = False,
 ) -> DataFrame:
     """Run the exact coverage kernel per (feature, tile) row.
 
@@ -657,7 +658,11 @@ def coverage_facts(
             raw_mode = "px" not in pdf.columns
             for row in pdf.itertuples(index=False):
                 # decode this tile's pixels ONCE for all its features
-                if raw_mode:
+                if coverage_only:
+                    # geometry-only queries (coverage_fraction, rasterize):
+                    # no pixel payload ships or decodes, values read as 0
+                    px = None
+                elif raw_mode:
                     px = _decode(bytes(row.bytes), int(row.ncols), int(row.nrows))
                     nodata = row.nodata
                     if nodata is not None and not (
@@ -693,7 +698,7 @@ def coverage_facts(
                     r_off, c_off = tile_grid.row_col_offset(sub)
                     tr = rr // fy + r_off
                     tc = cc // fx + c_off
-                    v = px[tr, tc]
+                    v = np.zeros(len(rr)) if px is None else px[tr, tc]
                     if default_value is not None:
                         v = np.where(np.isnan(v), default_value, v)
                     if not keep_nodata:

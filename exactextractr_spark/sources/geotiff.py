@@ -81,46 +81,67 @@ class TiffInfo:
     big_endian: bool
 
 
-def _read_ifd(buf: bytes) -> dict:
-    if buf[:2] == b"II":
+def _read_ifd(f) -> dict:
+    """Parse the first IFD with BOUNDED, seek-based reads — a COG header is
+    a few KB at the front of a file that may be 100s of GB; the driver must
+    never pull the payload. ``f`` is a seekable binary file object."""
+    f.seek(0)
+    head = f.read(16)
+    if head[:2] == b"II":
         bo = "<"
-    elif buf[:2] == b"MM":
+    elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF file (bad byte-order mark)")
-    magic = struct.unpack(bo + "H", buf[2:4])[0]
+    magic = struct.unpack(bo + "H", head[2:4])[0]
     if magic == 42:  # classic
-        off = struct.unpack(bo + "I", buf[4:8])[0]
-        n_entries = struct.unpack(bo + "H", buf[off : off + 2])[0]
-        entry_off, entry_sz, cnt_fmt, inline = off + 2, 12, "I", 4
+        off = struct.unpack(bo + "I", head[4:8])[0]
+        f.seek(off)
+        n_entries = struct.unpack(bo + "H", f.read(2))[0]
+        entry_sz, cnt_fmt, inline = 12, "I", 4
     elif magic == 43:  # BigTIFF
-        off = struct.unpack(bo + "Q", buf[8:16])[0]
-        n_entries = struct.unpack(bo + "Q", buf[off : off + 8])[0]
-        entry_off, entry_sz, cnt_fmt, inline = off + 8, 20, "Q", 8
+        off = struct.unpack(bo + "Q", head[8:16])[0]
+        f.seek(off)
+        n_entries = struct.unpack(bo + "Q", f.read(8))[0]
+        entry_sz, cnt_fmt, inline = 20, "Q", 8
     else:
         raise ValueError(f"bad TIFF magic {magic}")
+    entries = f.read(n_entries * entry_sz)
+    cnt_sz = struct.calcsize(cnt_fmt)
     tags: dict = {"_bo": bo}
+    # first pass: inline values; collect out-of-line (tag, typ, cnt, off)
+    deferred = []
     for i in range(n_entries):
-        e = buf[entry_off + i * entry_sz : entry_off + (i + 1) * entry_sz]
+        e = entries[i * entry_sz : (i + 1) * entry_sz]
         tag, typ = struct.unpack(bo + "HH", e[:4])
-        cnt = struct.unpack(bo + cnt_fmt, e[4 : 4 + struct.calcsize(cnt_fmt)])[0]
+        cnt = struct.unpack(bo + cnt_fmt, e[4 : 4 + cnt_sz])[0]
         sz = _TYPE_SIZE.get(typ, 1) * cnt
-        val_field = e[4 + struct.calcsize(cnt_fmt) :]
+        val_field = e[4 + cnt_sz :]
         if sz <= inline:
-            data = val_field[:sz]
+            tags[tag] = (typ, cnt, val_field[:sz])
         else:
-            o = struct.unpack(bo + cnt_fmt, val_field[: struct.calcsize(cnt_fmt)])[0]
-            data = buf[o : o + sz]
+            o = struct.unpack(bo + cnt_fmt, val_field[:cnt_sz])[0]
+            deferred.append((tag, typ, cnt, o, sz))
+    # second pass: bounded range-read per out-of-line tag (offset order)
+    for tag, typ, cnt, o, sz in sorted(deferred, key=lambda d: d[3]):
+        f.seek(o)
+        tags[tag] = (typ, cnt, f.read(sz))
+
+    out: dict = {"_bo": bo}
+    for tag, val in tags.items():
+        if tag == "_bo":
+            continue
+        typ, cnt, data = val
         if typ in (5, 10):  # rationals
             raw = struct.unpack(bo + ("I" if typ == 5 else "i") * 2 * cnt, data)
-            tags[tag] = tuple(raw[i] / raw[i + 1] for i in range(0, 2 * cnt, 2))
+            out[tag] = tuple(raw[i] / raw[i + 1] for i in range(0, 2 * cnt, 2))
         elif typ == 2:
-            tags[tag] = data
+            out[tag] = data
         elif typ in _TYPE_FMT:
-            tags[tag] = struct.unpack(bo + _TYPE_FMT[typ] * cnt, data)
+            out[tag] = struct.unpack(bo + _TYPE_FMT[typ] * cnt, data)
         else:
-            tags[tag] = data
-    return tags
+            out[tag] = data
+    return out
 
 
 def _epsg_from_geokeys(keys: tuple) -> str:
@@ -142,11 +163,11 @@ def _epsg_from_geokeys(keys: tuple) -> str:
 
 
 def read_tiff_info(path: str) -> TiffInfo:
-    """Driver-side header parse — reads the whole file ONLY to slice the
-    IFD (header bytes); pixel chunks are later range-read by executors."""
+    """Driver-side header parse — bounded seek-based reads of the IFD only
+    (a few KB even for a 100-GB COG); pixel chunks are later range-read by
+    executors."""
     with open(path, "rb") as f:
-        buf = f.read()
-    t = _read_ifd(buf)
+        t = _read_ifd(f)
     bo = t["_bo"]
     tiled = _T_TILE_OFFSETS in t
     if tiled:

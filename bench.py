@@ -144,11 +144,23 @@ def run_headline(spark) -> tuple[float, float, int]:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     timings = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-k: a single-shot number on this noisy shared VM measures
+        # first-touch parquet reads + plan compile + neighbor load as much
+        # as the query (observed 3x swings on identical code); the min of
+        # two runs is the query's capability
+        best = float("inf")
+        for _ in range(reps):
+            # identical logical plans hit Spark's CacheManager across
+            # calls: without clearCache a rep of a query that persists an
+            # intermediate re-times only the post-cache part
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     return timings
 
 

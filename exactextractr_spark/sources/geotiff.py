@@ -81,10 +81,12 @@ class TiffInfo:
     big_endian: bool
 
 
-def _read_ifd(f) -> dict:
-    """Parse the first IFD with BOUNDED, seek-based reads — a COG header is
-    a few KB at the front of a file that may be 100s of GB; the driver must
-    never pull the payload. ``f`` is a seekable binary file object."""
+def _read_ifd(f, index: int = 0) -> dict:
+    """Parse the ``index``-th IFD with BOUNDED, seek-based reads — a COG
+    header is a few KB at the front of a file that may be 100s of GB; the
+    driver must never pull the payload. ``f`` is a seekable binary file
+    object. ``index > 0`` follows the next-IFD chain (COG overview levels
+    / multi-page TIFFs)."""
     f.seek(0)
     head = f.read(16)
     if head[:2] == b"II":
@@ -96,16 +98,22 @@ def _read_ifd(f) -> dict:
     magic = struct.unpack(bo + "H", head[2:4])[0]
     if magic == 42:  # classic
         off = struct.unpack(bo + "I", head[4:8])[0]
-        f.seek(off)
-        n_entries = struct.unpack(bo + "H", f.read(2))[0]
-        entry_sz, cnt_fmt, inline = 12, "I", 4
+        n_fmt, entry_sz, cnt_fmt, inline = "H", 12, "I", 4
     elif magic == 43:  # BigTIFF
         off = struct.unpack(bo + "Q", head[8:16])[0]
-        f.seek(off)
-        n_entries = struct.unpack(bo + "Q", f.read(8))[0]
-        entry_sz, cnt_fmt, inline = 20, "Q", 8
+        n_fmt, entry_sz, cnt_fmt, inline = "Q", 20, "Q", 8
     else:
         raise ValueError(f"bad TIFF magic {magic}")
+    n_sz = struct.calcsize(n_fmt)
+    for _ in range(index):  # follow the chain to the requested IFD
+        f.seek(off)
+        n_here = struct.unpack(bo + n_fmt, f.read(n_sz))[0]
+        f.seek(off + n_sz + n_here * entry_sz)
+        off = struct.unpack(bo + cnt_fmt, f.read(struct.calcsize(cnt_fmt)))[0]
+        if off == 0:
+            raise ValueError(f"TIFF has no IFD #{index}")
+    f.seek(off)
+    n_entries = struct.unpack(bo + n_fmt, f.read(n_sz))[0]
     entries = f.read(n_entries * entry_sz)
     cnt_sz = struct.calcsize(cnt_fmt)
     tags: dict = {"_bo": bo}
@@ -162,12 +170,12 @@ def _epsg_from_geokeys(keys: tuple) -> str:
     return ""
 
 
-def read_tiff_info(path: str) -> TiffInfo:
+def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
     """Driver-side header parse — bounded seek-based reads of the IFD only
     (a few KB even for a 100-GB COG); pixel chunks are later range-read by
-    executors."""
+    executors. ``ifd`` selects an overview level (COG next-IFD chain)."""
     with open(path, "rb") as f:
-        t = _read_ifd(f)
+        t = _read_ifd(f, ifd)
     bo = t["_bo"]
     tiled = _T_TILE_OFFSETS in t
     if tiled:
@@ -361,6 +369,7 @@ def read_geotiff(
     layer: str | None = None,
     band: int = 0,
     rows_per_tile: int | None = None,
+    overview: int = 0,
 ) -> Raster:
     """Open a GeoTIFF as a distributed :class:`Raster`.
 
@@ -369,9 +378,25 @@ def read_geotiff(
     to executors via ``mapInPandas``. For strip TIFFs, output tiles are
     full-width groups of strips (``rows_per_tile`` rounds up to a strip
     multiple); for tiled TIFFs (the COG layout) output tiles are the
-    native TIFF tiles.
+    native TIFF tiles. ``overview=N`` reads the N-th COG overview level
+    (next-IFD chain); GDAL overviews usually carry no geo tags, so the
+    georeferencing is taken from the full-resolution IFD with the cell
+    size scaled by the decimation factor.
     """
-    info = read_tiff_info(path)
+    info = read_tiff_info(path, ifd=overview)
+    if overview > 0:
+        base = read_tiff_info(path)
+        from dataclasses import replace as _replace
+
+        info = _replace(
+            info,
+            xmin=base.xmin,
+            ymax=base.ymax,
+            dx=base.dx * base.width / info.width,
+            dy=base.dy * base.height / info.height,
+            crs=info.crs or base.crs,
+            nodata=info.nodata if info.nodata is not None else base.nodata,
+        )
     if not 0 <= band < info.spp:
         raise ValueError(f"band {band} out of range (samples: {info.spp})")
     layer = layer or path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
@@ -516,11 +541,14 @@ def write_geotiff(
     nodata: float | None = None,
     compression: str = "deflate",
     rows_per_strip: int = 64,
+    overviews: "list[np.ndarray] | None" = None,
 ) -> None:
     """Write a single-band GeoTIFF (little-endian classic TIFF, strip
     layout, deflate or uncompressed) — the raster-sink analog of the
     reference CLI's GDAL writer (``gdal_writer.h:25-54``). NaNs are
     written as ``nodata`` when given (and the GDAL nodata tag is set).
+    ``overviews`` appends decimated levels as a next-IFD chain (the COG
+    overview shape, readable back via ``read_geotiff(overview=N)``).
 
     Driver-side by design: the natural inputs are ``exact_resample`` /
     ``rasterize_polygons`` destination grids, which are small relative to
@@ -528,24 +556,10 @@ def write_geotiff(
     strip sizes before offsets can be laid out)."""
     import zlib
 
-    arr = np.asarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("write_geotiff takes a 2-D single-band array")
-    dy = dx if dy is None else dy
-    h, w = arr.shape
-    if nodata is not None and arr.dtype.kind == "f":
-        arr = np.where(np.isnan(arr), nodata, arr)
-    bps, fmt = _tiff_dtype_tags(arr)
-    if arr.dtype.byteorder == ">":
-        arr = arr.astype(arr.dtype.newbyteorder("<"))
-
     comp_code = {"none": 1, "deflate": 8}.get(compression)
     if comp_code is None:
         raise ValueError("compression must be 'none' or 'deflate'")
-    chunks = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = np.ascontiguousarray(arr[r0 : r0 + rows_per_strip]).tobytes()
-        chunks.append(zlib.compress(raw) if comp_code == 8 else raw)
+    dy = dx if dy is None else dy
 
     # GeoKeys: geographic vs projected EPSG
     epsg = None
@@ -562,64 +576,109 @@ def write_geotiff(
     else:
         geokeys = (1, 1, 0, 1, 1024, 0, 1, 0)
 
-    entries: "list[tuple[int, int, object]]" = []
-
-    def add(tag, typ, vals):
-        entries.append((tag, typ, vals))
-
-    add(_T_WIDTH, 3, [w])
-    add(_T_HEIGHT, 3, [h])
-    add(_T_BPS, 3, [bps])
-    add(_T_COMPRESSION, 3, [comp_code])
-    add(262, 3, [1])  # photometric: BlackIsZero
-    add(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
-    add(_T_SPP, 3, [1])
-    add(_T_SAMPLE_FORMAT, 3, [fmt])
-    add(_T_PIXEL_SCALE, 12, [dx, dy, 0.0])
-    add(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
-    add(_T_GEO_KEYS, 3, list(geokeys))
-    if nodata is not None:
-        nod = np.format_float_positional(float(nodata), trim="-")
-        add(_T_GDAL_NODATA, 2, nod.encode() + b"\x00")
-
-    header_sz, inline = 8, 4
-    body = bytearray()
-    offsets = []
-    for ch in chunks:
-        offsets.append(header_sz + len(body))
-        body += ch
-    add(_T_STRIP_OFFSETS, 4, offsets)
-    add(_T_STRIP_COUNTS, 4, [len(ch) for ch in chunks])
-    entries.sort(key=lambda e: e[0])
-
     type_fmt = {3: "H", 4: "I", 12: "d"}
-    payloads = []
-    for tag, typ, vals in entries:
-        if typ == 2:
-            pay, cnt = bytes(vals), len(vals)
+    header_sz, inline = 8, 4
+    base_w, base_h = None, None
+
+    def build_section(
+        a: np.ndarray, base_off: int, is_base: bool
+    ) -> "tuple[bytes, int]":
+        """(section bytes, IFD offset within section) for one image, laid
+        out at absolute offset ``base_off``. The IFD's next pointer is 0 —
+        the caller patches it (the section's last 4 bytes)."""
+        nonlocal base_w, base_h
+        a = np.asarray(a)
+        if a.ndim != 2:
+            raise ValueError("write_geotiff takes 2-D single-band arrays")
+        if nodata is not None and a.dtype.kind == "f":
+            a = np.where(np.isnan(a), nodata, a)
+        bps, fmt = _tiff_dtype_tags(a)
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        h, w = a.shape
+        chunks = []
+        for r0 in range(0, h, rows_per_strip):
+            raw = np.ascontiguousarray(a[r0 : r0 + rows_per_strip]).tobytes()
+            chunks.append(zlib.compress(raw) if comp_code == 8 else raw)
+
+        entries: "list[tuple[int, int, object]]" = []
+
+        def add(tag, typ, vals):
+            entries.append((tag, typ, vals))
+
+        add(_T_WIDTH, 3, [w])
+        add(_T_HEIGHT, 3, [h])
+        add(_T_BPS, 3, [bps])
+        add(_T_COMPRESSION, 3, [comp_code])
+        add(262, 3, [1])  # photometric: BlackIsZero
+        add(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+        add(_T_SPP, 3, [1])
+        add(_T_SAMPLE_FORMAT, 3, [fmt])
+        if is_base:
+            base_w, base_h = w, h
+            add(_T_PIXEL_SCALE, 12, [dx, dy, 0.0])
+            add(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
+            add(_T_GEO_KEYS, 3, list(geokeys))
         else:
-            pay = struct.pack("<" + type_fmt[typ] * len(vals), *vals)
-            cnt = len(vals)
-        payloads.append((tag, typ, cnt, pay))
-    ext_base = header_sz + len(body)
-    ext = bytearray()
-    ifd_entries = []
-    for tag, typ, cnt, pay in payloads:
-        if len(pay) <= inline:
-            val = pay + b"\x00" * (inline - len(pay))
-        else:
-            val = struct.pack("<I", ext_base + len(ext))
-            ext += pay
-        ifd_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
-    ifd_off = ext_base + len(ext)
+            add(254, 4, [1])  # NewSubfileType: reduced-resolution image
+        if nodata is not None:
+            nod = np.format_float_positional(float(nodata), trim="-")
+            add(_T_GDAL_NODATA, 2, nod.encode() + b"\x00")
+
+        body = bytearray()
+        offsets = []
+        for ch in chunks:
+            offsets.append(base_off + len(body))
+            body += ch
+        add(_T_STRIP_OFFSETS, 4, offsets)
+        add(_T_STRIP_COUNTS, 4, [len(ch) for ch in chunks])
+        entries.sort(key=lambda e: e[0])
+
+        payloads = []
+        for tag, typ, vals in entries:
+            if typ == 2:
+                pay, cnt = bytes(vals), len(vals)
+            else:
+                pay = struct.pack("<" + type_fmt[typ] * len(vals), *vals)
+                cnt = len(vals)
+            payloads.append((tag, typ, cnt, pay))
+        ext_base = base_off + len(body)
+        ext = bytearray()
+        ifd_entries = []
+        for tag, typ, cnt, pay in payloads:
+            if len(pay) <= inline:
+                val = pay + b"\x00" * (inline - len(pay))
+            else:
+                val = struct.pack("<I", ext_base + len(ext))
+                ext += pay
+            ifd_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+        ifd = struct.pack("<H", len(ifd_entries))
+        ifd += b"".join(ifd_entries)
+        ifd += struct.pack("<I", 0)  # next-IFD, patched by caller
+        section = bytes(body) + bytes(ext) + ifd
+        return section, len(body) + len(ext)
+
+    images = [arr] + list(overviews or [])
+    sections: "list[tuple[bytes, int]]" = []
+    starts: list[int] = []
+    cursor = header_sz
+    for i, a in enumerate(images):
+        starts.append(cursor)
+        sec, ifd_pos = build_section(a, cursor, is_base=(i == 0))
+        sections.append((sec, ifd_pos))
+        cursor += len(sec)
+    # patch next-IFD pointers (each section's last 4 bytes)
+    patched = []
+    for i, (sec, _pos) in enumerate(sections):
+        if i + 1 < len(sections):
+            nxt = starts[i + 1] + sections[i + 1][1]
+            sec = sec[:-4] + struct.pack("<I", nxt)
+        patched.append(sec)
+    ifd0 = starts[0] + sections[0][1]
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
-        f.write(body)
-        f.write(ext)
-        f.write(struct.pack("<H", len(ifd_entries)))
-        for e in ifd_entries:
-            f.write(e)
-        f.write(struct.pack("<I", 0))
+        f.write(b"II" + struct.pack("<HI", 42, ifd0))
+        for sec in patched:
+            f.write(sec)
 
 
 def resample_to_geotiff(

@@ -455,3 +455,33 @@ def test_resample_to_geotiff(spark, tmp_path):
     back = _collect_array(read_geotiff(spark, out_p))
     assert np.nansum(back) == pytest.approx(arr.sum())
     assert back[0, 0] == pytest.approx(arr[0:2, 0:2].sum())
+
+
+def test_cog_overviews_roundtrip(spark, tmp_path):
+    """write_geotiff(overviews=...) emits a next-IFD chain; read back at
+    each level, georeferencing scaled from the base IFD."""
+    from exactextractr_spark.sources.geotiff import (
+        read_geotiff,
+        read_tiff_info,
+        write_geotiff,
+    )
+
+    full = np.arange(1024, dtype=np.float64).reshape(32, 32)
+    ov1 = full.reshape(16, 2, 16, 2).mean(axis=(1, 3))  # 2x block mean
+    ov2 = ov1.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    p = str(tmp_path / "cog.tif")
+    write_geotiff(p, full, xmin=0.0, ymax=32.0, dx=1.0, overviews=[ov1, ov2])
+    assert read_tiff_info(p, ifd=0).width == 32
+    assert read_tiff_info(p, ifd=1).width == 16
+    assert read_tiff_info(p, ifd=2).width == 8
+    with pytest.raises(ValueError, match="no IFD"):
+        read_tiff_info(p, ifd=3)
+    # base reads unchanged
+    np.testing.assert_array_equal(_collect_array(read_geotiff(spark, p)), full)
+    # overview levels: values exact, cell size scaled, origin preserved
+    r1 = read_geotiff(spark, p, overview=1)
+    assert r1.meta.dx == 2.0 and r1.meta.xmin == 0.0 and r1.meta.ymax == 32.0
+    np.testing.assert_array_equal(_collect_array(r1), ov1)
+    r2 = read_geotiff(spark, p, overview=2)
+    assert r2.meta.dx == 4.0
+    np.testing.assert_array_equal(_collect_array(r2), ov2)

@@ -72,7 +72,7 @@ def main(argv=None):
         help="features are LineStrings: stats weight by per-cell traversal "
         "length (the reference CLI's linear mode; weighted stats invalid)",
     )
-    p.add_argument("--format", choices=["parquet", "csv", "geojson"],
+    p.add_argument("--format", choices=["parquet", "csv", "geojson", "netcdf"],
                    default="parquet",
                    help="geojson writes ONE FeatureCollection with the input "
                    "geometries + stat properties (the reference CLI's OGR "
@@ -205,10 +205,17 @@ def main(argv=None):
             json.dump(
                 {"type": "FeatureCollection", "features": features_json}, f
             )
+    elif args.format == "netcdf":
+        from .sources.netcdf import write_netcdf_table
+
+        pdf_out = out.toPandas()
+        write_netcdf_table(args.output, pdf_out)
     else:
         out.write.mode("overwrite").parquet(args.output)
     if args.format == "geojson":
         n = len(features_json)
+    elif args.format == "netcdf":
+        n = len(pdf_out)
     else:
         n = spark.read.format(args.format).option("header", "true").load(args.output).count()
     print(

@@ -178,3 +178,42 @@ def test_weighted_quantile_equal_weights_is_type7(vals):
     got = weighted_quantile(v, np.ones_like(v), qs)
     want = np.quantile(v, qs, method="linear")
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    zone=st.integers(1, 60),
+    south=st.booleans(),
+    dlon=st.floats(-3.5, 3.5, allow_nan=False),
+    lat=st.floats(-80.0, 84.0, allow_nan=False),
+)
+def test_utm_roundtrip_property(zone, south, dlon, lat):
+    """Forward∘inverse == identity to <1e-9 deg for any zone/hemisphere
+    and any point within (and slightly beyond) the zone."""
+    from exactextractr_spark.core.crs import transform_xy
+
+    if south and lat > 0:
+        lat = -lat  # keep southern-hemisphere codes on their home side
+    code = (32700 if south else 32600) + zone
+    lon0 = -183.0 + 6.0 * zone
+    lon = np.array([lon0 + dlon])
+    latv = np.array([lat])
+    e, n = transform_xy(lon, latv, "EPSG:4326", f"EPSG:{code}")
+    lon2, lat2 = transform_xy(e, n, f"EPSG:{code}", "EPSG:4326")
+    assert abs(lon2[0] - lon[0]) < 1e-9
+    assert abs(lat2[0] - latv[0]) < 1e-9
+    # northing sanity: 0 at the equator anchor, positive northward offset
+    assert np.isfinite(e[0]) and np.isfinite(n[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=8192))
+def test_lzw_roundtrip_property(data):
+    """TIFF-LZW decode(encode(x)) == x for arbitrary byte strings
+    (encoder lives in tests/test_geotiff.py — an independent
+    implementation of the spec, incl. the early-change quirk)."""
+    from exactextractr_spark.sources.geotiff import _lzw_decode
+
+    from .test_geotiff import _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data)) == data

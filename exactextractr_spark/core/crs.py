@@ -53,6 +53,35 @@ _DELTA = (
 _E_SQRTN = 2.0 * math.sqrt(_N) / (1.0 + _N)
 
 
+def _series_consts(a: float, f: float):
+    """(A̅, alpha, beta, delta, e_sqrtn) Krüger-series constants for an
+    arbitrary ellipsoid — same formulas as the WGS84 module constants."""
+    n = f / (2.0 - f)
+    a_bar = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 / 3.0 * n ** 2 + 5.0 / 16.0 * n ** 3 + 41.0 / 180.0 * n ** 4,
+        13.0 / 48.0 * n ** 2 - 3.0 / 5.0 * n ** 3 + 557.0 / 1440.0 * n ** 4,
+        61.0 / 240.0 * n ** 3 - 103.0 / 140.0 * n ** 4,
+        49561.0 / 161280.0 * n ** 4,
+    )
+    beta = (
+        n / 2.0 - 2.0 / 3.0 * n ** 2 + 37.0 / 96.0 * n ** 3 - 1.0 / 360.0 * n ** 4,
+        n ** 2 / 48.0 + n ** 3 / 15.0 - 437.0 / 1440.0 * n ** 4,
+        17.0 / 480.0 * n ** 3 - 37.0 / 840.0 * n ** 4,
+        4397.0 / 161280.0 * n ** 4,
+    )
+    delta = (
+        2.0 * n - 2.0 / 3.0 * n ** 2 - 2.0 * n ** 3 + 116.0 / 45.0 * n ** 4,
+        7.0 / 3.0 * n ** 2 - 8.0 / 5.0 * n ** 3 - 227.0 / 45.0 * n ** 4,
+        56.0 / 15.0 * n ** 3 - 136.0 / 35.0 * n ** 4,
+        4279.0 / 630.0 * n ** 4,
+    )
+    return a_bar, alpha, beta, delta, 2.0 * math.sqrt(n) / (1.0 + n)
+
+
+_WGS84_CONSTS = (_A_BAR, _ALPHA, _BETA, _DELTA, _E_SQRTN)
+
+
 def _norm(crs: str) -> str:
     c = (crs or "").strip().upper().replace(" ", "")
     if c in ("EPSG:4326", "WGS84", "CRS:84", "OGC:CRS84"):
@@ -80,7 +109,11 @@ def _utm_zone(crs: str) -> "tuple[int, bool] | None":
 
 def _supported(crs: str) -> bool:
     c = _norm(crs)
-    return c in ("EPSG:4326", "EPSG:3857") or _utm_zone(c) is not None
+    return (
+        c in ("EPSG:4326", "EPSG:3857")
+        or _utm_zone(c) is not None
+        or c in _NAMED_TM
+    )
 
 
 def can_transform(src: str, dst: str) -> bool:
@@ -89,42 +122,144 @@ def can_transform(src: str, dst: str) -> bool:
 
 
 def _tm_forward(
-    lon: np.ndarray, lat: np.ndarray, lon0_deg: float
+    lon: np.ndarray, lat: np.ndarray, lon0_deg: float, consts=_WGS84_CONSTS
 ) -> tuple[np.ndarray, np.ndarray]:
     """Krüger-series transverse mercator, unscaled (returns A̅·η, A̅·ξ)."""
+    a_bar, alpha, _beta, _delta, e_sqrtn = consts
     phi = np.radians(lat)
     dlam = np.radians(lon - lon0_deg)
     s = np.sin(phi)
     # conformal latitude via tau' (Karney 2011 eq. 7-8)
-    t = np.sinh(np.arctanh(s) - _E_SQRTN * np.arctanh(_E_SQRTN * s))
+    t = np.sinh(np.arctanh(s) - e_sqrtn * np.arctanh(e_sqrtn * s))
     xi_p = np.arctan2(t, np.cos(dlam))
     eta_p = np.arcsinh(np.sin(dlam) / np.sqrt(t * t + np.cos(dlam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, a_j in enumerate(_ALPHA, start=1):
+    for j, a_j in enumerate(alpha, start=1):
         xi += a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
         eta += a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    return _A_BAR * eta, _A_BAR * xi
+    return a_bar * eta, a_bar * xi
 
 
 def _tm_inverse(
-    x: np.ndarray, y: np.ndarray, lon0_deg: float
+    x: np.ndarray, y: np.ndarray, lon0_deg: float, consts=_WGS84_CONSTS
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of ``_tm_forward`` (input is unscaled A̅·η, A̅·ξ)."""
-    eta = np.asarray(x, dtype=np.float64) / _A_BAR
-    xi = np.asarray(y, dtype=np.float64) / _A_BAR
+    a_bar, _alpha, beta, delta, _e = consts
+    eta = np.asarray(x, dtype=np.float64) / a_bar
+    xi = np.asarray(y, dtype=np.float64) / a_bar
     xi_p = xi.copy()
     eta_p = eta.copy()
-    for j, b_j in enumerate(_BETA, start=1):
+    for j, b_j in enumerate(beta, start=1):
         xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     dlam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     # conformal latitude chi, then geographic latitude by series
     chi = np.arctan2(np.sin(xi_p), np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2))
     phi = chi.copy()
-    for j, d_j in enumerate(_DELTA, start=1):
+    for j, d_j in enumerate(delta, start=1):
         phi += d_j * np.sin(2 * j * chi)
     return lon0_deg + np.degrees(dlam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# non-WGS84 datums: generalized named-TM projections + Helmert shifts
+# ---------------------------------------------------------------------------
+
+#: named TM projections on other datums:
+#: code -> (a, f, lat0, lon0, k0, FE, FN, helmert)
+#: ``helmert`` = (tx, ty, tz [m], rx, ry, rz [arc-sec], s [ppm]) taking
+#: WGS84 geocentric coordinates TO the local datum (position-vector
+#: convention) — the same single-step transformation PROJ applies when no
+#: correction grid is installed (~5 m accuracy for OSGB36, which is the
+#: published accuracy of the 7-parameter shift itself).
+_NAMED_TM = {
+    # British National Grid on Airy 1830 (OS "A guide to coordinate
+    # systems in Great Britain", appendix; EPSG:27700)
+    "EPSG:27700": (
+        6377563.396, 1.0 - 6356256.909 / 6377563.396,  # Airy 1830
+        49.0, -2.0, 0.9996012717, 400_000.0, -100_000.0,
+        (-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894),
+    ),
+    # Irish Transverse Mercator ancestors etc. can be added the same way
+}
+
+
+def _helmert_matrix(params):
+    tx, ty, tz, rx, ry, rz, s_ppm = params
+    to_rad = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * to_rad, ry * to_rad, rz * to_rad
+    scale = 1.0 + s_ppm * 1e-6
+    # position-vector small-angle rotation matrix (not linearized away:
+    # we invert it EXACTLY so round-trips close to fp precision)
+    R = np.array(
+        [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+    )
+    t = np.array([tx, ty, tz], dtype=np.float64)
+    return scale, R, t
+
+
+def _geodetic_to_geocentric(lon, lat, a, f):
+    e2 = f * (2.0 - f)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    x = nu * np.cos(phi) * np.cos(lam)
+    y = nu * np.cos(phi) * np.sin(lam)
+    z = nu * (1.0 - e2) * np.sin(phi)
+    return x, y, z
+
+
+def _geocentric_to_geodetic(x, y, z, a, f):
+    """Bowring's method + 2 Newton refinements (sub-nm convergence)."""
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * a, p * b)
+    phi = np.arctan2(
+        z + ep2 * b * np.sin(theta) ** 3, p - e2 * a * np.cos(theta) ** 3
+    )
+    for _ in range(2):
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(z + e2 * nu * np.sin(phi), p)
+    lam = np.arctan2(y, x)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _named_tm_from_lonlat(lon, lat, code: str):
+    """WGS84 lon/lat -> projected E/N of a named non-WGS84 TM CRS."""
+    a, f, lat0, lon0, k0, fe, fn, helm = _NAMED_TM[code]
+    # datum shift: WGS84 geodetic -> geocentric -> local -> local geodetic
+    x, y, z = _geodetic_to_geocentric(
+        np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64),
+        _R, _F,
+    )
+    scale, R, t = _helmert_matrix(helm)
+    XYZ = scale * (R @ np.vstack([x, y, z])) + t[:, None]
+    llon, llat = _geocentric_to_geodetic(XYZ[0], XYZ[1], XYZ[2], a, f)
+    # projection on the local ellipsoid, false origin at (lat0, lon0)
+    consts = _series_consts(a, f)
+    ae, an = _tm_forward(llon, llat, lon0, consts)
+    _z = np.zeros(1)
+    _, an0 = _tm_forward(np.array([lon0]), np.array([lat0]), lon0, consts)
+    e = fe + k0 * ae
+    n = fn + k0 * (an - an0[0])
+    return e, n
+
+
+def _named_tm_to_lonlat(e, n, code: str):
+    a, f, lat0, lon0, k0, fe, fn, helm = _NAMED_TM[code]
+    consts = _series_consts(a, f)
+    _, an0 = _tm_forward(np.array([lon0]), np.array([lat0]), lon0, consts)
+    ae = (np.asarray(e, dtype=np.float64) - fe) / k0
+    an = (np.asarray(n, dtype=np.float64) - fn) / k0 + an0[0]
+    llon, llat = _tm_inverse(ae, an, lon0, consts)
+    x, y, z = _geodetic_to_geocentric(llon, llat, a, f)
+    scale, R, t = _helmert_matrix(helm)
+    # exact inverse of X = s*R*x + t
+    xyz = np.linalg.solve(scale * R, np.vstack([x, y, z]) - t[:, None])
+    return _geocentric_to_geodetic(xyz[0], xyz[1], xyz[2], _R, _F)
 
 
 def _to_lonlat(
@@ -148,6 +283,8 @@ def _to_lonlat(
         if south:
             n = n - 10_000_000.0
         return _tm_inverse(e, n / _K0, lon0)
+    if c in _NAMED_TM:
+        return _named_tm_to_lonlat(x, y, c)
     raise _unsupported(crs)
 
 
@@ -176,15 +313,19 @@ def _from_lonlat(
         if south:
             n = n + 10_000_000.0
         return e, n
+    if c in _NAMED_TM:
+        return _named_tm_from_lonlat(lon, lat, c)
     raise _unsupported(crs)
 
 
 def _unsupported(crs: str) -> ValueError:
+    named = ", ".join(sorted(_NAMED_TM))
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
-        "EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx. "
-        "Transform the features to the raster CRS first (the reference "
-        "transforms automatically via PROJ, R/exact_extract.R:360-377)"
+        f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "
+        "(Helmert-shifted TM). Transform the features to the raster CRS "
+        "first (the reference transforms automatically via PROJ, "
+        "R/exact_extract.R:360-377)"
     )
 
 

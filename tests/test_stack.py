@@ -195,9 +195,9 @@ def test_mixed_geometry_collection_rejected(spark):
 
 
 def test_crs_mismatch_fails_loudly(spark):
-    # a pair with no closed-form transform raises with guidance (EPSG:27700
-    # is a non-WGS84 datum — genuinely needs PROJ datum math)
-    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:27700")
+    # a pair with no closed-form transform raises with guidance
+    # (EPSG:2154 is a Lambert conformal conic — not implemented)
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:2154")
     meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
                       tile_w=3, tile_h=3, crs="EPSG:4326")
     r = Raster.from_array(spark, np.ones((3, 3)), meta)
@@ -374,8 +374,8 @@ def test_crs_auto_transform_4326_to_3857(spark):
     want = exact_extract(r, feats_m, ["sum", "count"]).collect()[0]
     assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
     assert got["count"] == pytest.approx(want["count"], rel=1e-9)
-    # unsupported pair still raises (non-WGS84 datum)
-    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:27700")
+    # unsupported pair still raises (conic projection, not implemented)
+    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:2154")
     with pytest.raises(ValueError, match="no closed-form transform"):
         exact_extract(r, feats_bad, ["count"])
 
@@ -388,7 +388,8 @@ def test_utm_transform_series():
 
     assert can_transform("EPSG:32633", "EPSG:4326")
     assert can_transform("EPSG:32733", "EPSG:3857")
-    assert not can_transform("EPSG:27700", "EPSG:4326")
+    assert can_transform("EPSG:27700", "EPSG:4326")  # Helmert-shifted TM
+    assert not can_transform("EPSG:2154", "EPSG:4326")  # conic: unsupported
     # central-meridian/equator anchors (exact by construction)
     e, n = transform_xy(np.array([15.0]), np.array([0.0]),
                         "EPSG:4326", "EPSG:32633")
@@ -458,3 +459,40 @@ def test_unused_weights_warn(spark):
         warnings.simplefilter("always")
         exact_extract(v, feats, ["mean"], weights=w).collect()
     assert any("weights provided" in str(x.message) for x in rec)
+
+
+def test_osgb36_national_grid():
+    """EPSG:27700 (non-WGS84 datum): the projection reproduces the OS
+    worked example ('A guide to coordinate systems in Great Britain':
+    52°39'27.2531"N 1°43'4.5177"E -> E 651409.903 N 313177.270) to the
+    millimetre, and the WGS84 path (Helmert 7-parameter + Airy TM)
+    round-trips."""
+    from exactextractr_spark.core.crs import (
+        _NAMED_TM,
+        _series_consts,
+        _tm_forward,
+        transform_xy,
+    )
+
+    a, f, lat0, lon0, k0, fe, fn, _helm = _NAMED_TM["EPSG:27700"]
+    consts = _series_consts(a, f)
+    phi = 52 + 39 / 60 + 27.2531 / 3600
+    lam = 1 + 43 / 60 + 4.5177 / 3600
+    ae, an = _tm_forward(np.array([lam]), np.array([phi]), lon0, consts)
+    _, an0 = _tm_forward(np.array([lon0]), np.array([lat0]), lon0, consts)
+    assert fe + k0 * ae[0] == pytest.approx(651409.903, abs=1e-3)
+    assert fn + k0 * (an[0] - an0[0]) == pytest.approx(313177.270, abs=1e-3)
+    # WGS84 <-> BNG round-trip through the datum shift
+    lon = np.array([-0.1246, -2.0, -5.5])
+    lat = np.array([51.5007, 49.0, 58.0])
+    e, n = transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
+    lon2, lat2 = transform_xy(e, n, "EPSG:27700", "EPSG:4326")
+    assert np.abs(lon2 - lon).max() < 1e-7
+    assert np.abs(lat2 - lat).max() < 1e-7
+    # true origin maps to the false origin (datum-shift-free identity on
+    # the projection: transform OSGB36's origin THROUGH WGS84 and back
+    # lands within the Helmert model's published accuracy)
+    e0, n0 = transform_xy(np.array([-2.0]), np.array([49.0]),
+                          "EPSG:4326", "EPSG:27700")
+    assert abs(e0[0] - 400_000.0) < 120  # datum shift moves it ~100 m
+    assert abs(n0[0] - (-100_000.0)) < 120

@@ -104,6 +104,11 @@ def _utm_zone(crs: str) -> "tuple[int, bool] | None":
         return code - 32600, False
     if 32701 <= code <= 32760:
         return code - 32700, True
+    if 25828 <= code <= 25838:
+        # ETRS89 / UTM zones 28N-38N: ETRS89 == WGS84 to well under the
+        # closed-form accuracy here (no grid/time-dependent datum math,
+        # the same equivalence PROJ assumes without a deformation model)
+        return code - 25800, False
     return None
 
 
@@ -181,7 +186,14 @@ _NAMED_TM = {
         49.0, -2.0, 0.9996012717, 400_000.0, -100_000.0,
         (-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894),
     ),
-    # Irish Transverse Mercator ancestors etc. can be added the same way
+    # NZTM2000 (EPSG:2193): GRS80 on NZGD2000, which is WGS84-equivalent
+    # at this accuracy — identity Helmert
+    "EPSG:2193": (
+        6378137.0, 1.0 / 298.257222101,  # GRS80
+        0.0, 173.0, 0.9996, 1_600_000.0, 10_000_000.0,
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    ),
+    # further Helmert-shifted TM CRSs register the same way
 }
 
 

@@ -496,3 +496,24 @@ def test_osgb36_national_grid():
                           "EPSG:4326", "EPSG:27700")
     assert abs(e0[0] - 400_000.0) < 120  # datum shift moves it ~100 m
     assert abs(n0[0] - (-100_000.0)) < 120
+
+
+def test_nztm_and_etrs89_utm():
+    """EPSG:2193 (NZTM2000/GRS80) and EPSG:258xx (ETRS89/UTM) anchors +
+    round-trips."""
+    from exactextractr_spark.core.crs import can_transform, transform_xy
+
+    e, n = transform_xy(np.array([173.0]), np.array([0.0]),
+                        "EPSG:4326", "EPSG:2193")
+    assert e[0] == pytest.approx(1_600_000.0, abs=1e-6)
+    assert n[0] == pytest.approx(10_000_000.0, abs=1e-6)
+    lon = np.array([174.7762, 168.0])
+    lat = np.array([-41.2865, -46.4])
+    e, n = transform_xy(lon, lat, "EPSG:4326", "EPSG:2193")
+    lon2, lat2 = transform_xy(e, n, "EPSG:2193", "EPSG:4326")
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    e, n = transform_xy(np.array([9.0]), np.array([0.0]),
+                        "EPSG:4326", "EPSG:25832")
+    assert e[0] == pytest.approx(500_000.0, abs=1e-6)
+    assert can_transform("EPSG:25832", "EPSG:27700")

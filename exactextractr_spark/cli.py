@@ -97,6 +97,13 @@ def main(argv=None):
 
     from pyspark.sql import functions as F
 
+    if args.weight_tiles and args.weight_layer:
+        # the weight-layer branch would silently overwrite the GeoTIFF
+        # weights read from --weight-tiles; refuse the ambiguity instead
+        raise SystemExit(
+            "--weight-tiles and --weight-layer are mutually exclusive; "
+            "pass exactly one weight source"
+        )
     is_tif = args.tiles.lower().endswith((".tif", ".tiff"))
     if is_tif:
         from .sources.geotiff import read_geotiff

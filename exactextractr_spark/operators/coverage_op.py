@@ -218,7 +218,9 @@ def exact_extract_lines(
     if plan.freq:
         from .zonal import _freq_stats
 
-        freq = freq.persist()
+        # localCheckpoint, not persist(): blocks released on GC, no cache
+        # leak across repeated calls in a long-lived session
+        freq = freq.localCheckpoint(eager=True)
         fr = _freq_stats(plan, freq)
         result = fr if result is None else result.join(fr, "feature_id", "full")
     base = features.select("feature_id")

@@ -239,10 +239,9 @@ def minhash_dedup(
     approximation of per-cluster canonical selection)."""
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, seed=seed
-    ).persist()  # referenced 4x downstream (band sides + sig re-attach);
-    # lifetime: session cache — long-lived sessions running many dedup jobs
-    # should spark.catalog.clearCache() between jobs (persisted DataFrames
-    # are held by the CacheManager, not released by GC)
+    ).localCheckpoint(eager=True)  # referenced 4x downstream (band sides +
+    # sig re-attach); localCheckpoint computes once and its blocks are
+    # released on GC — no CacheManager entry leaked across repeated jobs
     pairs = minhash_lsh_pairs(
         sigs, id_col=id_col, bands=bands, threshold=threshold, num_hashes=num_hashes
     )
@@ -324,10 +323,11 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(rare, on="gram", how="inner")
-    # grams feeds three consumers (both self-join sides + sizes); one persist
-    # after the df-filter measured fastest (persisting the raw gram table too
-    # doubles the cache-store cost for no win at any scale tested)
-    grams = grams.persist()
+    # grams feeds three consumers (both self-join sides + sizes); one
+    # materialization after the df-filter measured fastest (storing the raw
+    # gram table too doubles the cache-store cost for no win at any scale
+    # tested). localCheckpoint: blocks released on GC, no cache leak.
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("a")
@@ -440,8 +440,11 @@ def embedding_dedup(
         ).filter(F.col("cos_sim") >= F.lit(threshold)).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    # pairs is consumed twice (drop set + neighbor counts): keep it
-    pairs = pairs.persist()
+    # pairs is consumed twice (drop set + neighbor counts).  localCheckpoint
+    # instead of persist(): one eager computation whose blocks are released
+    # when the result is GC'd, so repeated calls in a long session don't
+    # leak CacheManager entries.
+    pairs = pairs.localCheckpoint(eager=True)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
         F.count("*").alias("near_dups")

@@ -144,13 +144,14 @@ def _stack_single_pass(
 
     layers = [r.meta.layer for r in values]
     tiles = raw_tiles_with_meta(v0._raw).filter(F.col("layer").isin(layers))
-    # count BEFORE collecting (same guard as build_candidates: never land
-    # geometries on the driver just to discover the table is too big)
-    if features.count() > 200_000:
-        return None
+    # ONE bounded driver job: limit(200_001).collect() both counts and
+    # fetches — if the limit row comes back the table is too big for the
+    # broadcast path and nothing oversized ever lands on the driver
     rows = features.select(
         "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
-    ).collect()
+    ).limit(200_001).collect()
+    if len(rows) > 200_000:
+        return None
     spark = features.sparkSession
     fb = FeatureBroadcast(rows)
     feats_bc = spark.sparkContext.broadcast(fb)
@@ -170,10 +171,16 @@ def _stack_single_pass(
             tiles, emit="freq", feats_bc=feats_bc, values_meta=v0.meta,
             by_layer=True,
         )
+        # localCheckpoint, not persist(): computes the kernel scan once and
+        # truncates lineage (the per-layer loop re-reads blocks, never
+        # re-scans), but unlike a CacheManager entry the blocks are released
+        # when this DataFrame is GC'd — no cache leak across repeated calls
+        # in a long-lived session. (On a real cluster prefer a reliable
+        # checkpoint dir if executors use dynamic allocation.)
         freq_all = (
             partials.groupBy("feature_id", "layer", "v")
             .agg(F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         piv = None
         for lay in layers:

@@ -431,11 +431,26 @@ def candidate_pairs_flat(values: Raster, feats: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast the weight tile table only while its full pixel payload is
+# plausibly executor-memory safe. Above this the hint is dropped and the
+# slim-key equi-join on (w_tr, w_tc) shuffles instead (AQE picks the
+# strategy) — an unconditional broadcast of a 100-TB-scale weight raster's
+# payloads is a driver/executor OOM, not a slowdown.
+WEIGHT_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _weight_payload_bytes(wm) -> int:
+    """Upper-bound estimate of the weight raster's in-memory pixel payload
+    (8 bytes/cell float64), computable from metadata alone — no job."""
+    return int(wm.width) * int(wm.height) * 8
+
+
 def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFrame:
     """Join the weight tiles overlapping each candidate value tile
     (collect_list of structs; exactly 1 element when schemes align).
     Grouping happens on a slim key projection so the heavy tile payload
-    never enters the shuffle."""
+    never enters the shuffle; the weight side is broadcast only below a
+    size gate (see WEIGHT_BROADCAST_MAX_BYTES)."""
     wm = weights.meta
     w = weights.tiles.select(
         F.col("tile_row").alias("w_tr"),
@@ -486,7 +501,9 @@ def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFra
     expanded = slim.withColumn("w_tr", F.explode(F.sequence(wr0, wr1))).withColumn(
         "w_tc", F.explode(F.sequence(wc0, wc1))
     )
-    joined = expanded.join(F.broadcast(w), on=["w_tr", "w_tc"], how="left")
+    if _weight_payload_bytes(wm) <= WEIGHT_BROADCAST_MAX_BYTES:
+        w = F.broadcast(w)
+    joined = expanded.join(w, on=["w_tr", "w_tc"], how="left")
     wlists = joined.groupBy("tile_row", "tile_col").agg(
         F.collect_list("wtile").alias("wtiles")
     )
@@ -940,13 +957,14 @@ def exact_extract(
         # one kernel pass; everything (algebraic included) derives exactly
         # from the merged value-frequency table. The freq table is consumed
         # once per requested freq-stat piece (mode + minority + quantile +
-        # frac each reference it), so persist it — it is tiny (features ×
+        # frac each reference it), so materialize it — it is tiny (features ×
         # distinct values) and saves a full kernel re-scan per piece.
-        # Lifetime: session cache (clearCache() in long-lived sessions).
+        # localCheckpoint: blocks are released when the result is GC'd, no
+        # CacheManager entry leaked across repeated calls.
         partials = coverage_facts(cand, emit="freq", **kernel_kwargs)
         freq_df = partials.groupBy("feature_id", "v").agg(
             F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw")
-        ).persist()
+        ).localCheckpoint(eager=True)
         if plan.algebraic:
             agg_df = freq_df.groupBy("feature_id").agg(
                 *plan.algebraic_aggs_from_freq()

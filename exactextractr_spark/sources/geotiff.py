@@ -269,11 +269,12 @@ def _lzw_decode(data: bytes) -> bytes:
             if prev is not None:
                 table.append(prev + entry[:1])
                 next_code += 1
-            # TIFF's "early change", seen from the decoder: the decoder's
-            # table lags the encoder's by one entry (the encoder adds as it
-            # emits; the decoder adds on the NEXT code), so the width bumps
-            # when the next code to assign is (2^width - 2)
-            if next_code == (1 << width) - 2 and width < 12:
+            # TIFF's "early change": the code width bumps when the next
+            # code to assign reaches 2^width - 1 (511/1023/2047), one code
+            # earlier than vanilla LZW.  Threshold validated byte-exact
+            # against JDK-ImageIO-written LZW TIFFs (tests/fixtures/
+            # jdk_lzw_*.tif), which follow libtiff semantics.
+            if next_code == (1 << width) - 1 and width < 12:
                 width += 1
             out += entry
             prev = entry

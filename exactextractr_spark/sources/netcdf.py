@@ -46,6 +46,15 @@ def _attr_value(v) -> bytes:
     if isinstance(v, str):
         e = v.encode()
         return struct.pack(">II", _NC_CHAR, len(e)) + _pad4(e)
+    # numpy scalar: encode with ITS nc type — CF requires e.g. _FillValue to
+    # match the variable's type (a float32 var with an NC_DOUBLE fill is
+    # flagged by strict readers and ignored by netCDF-C's fill machinery)
+    if isinstance(v, np.generic) and v.dtype in _DTYPE_NC:
+        nc_type, _, fmt = _DTYPE_NC[v.dtype]
+        return (
+            struct.pack(">II", nc_type, 1)
+            + _pad4(np.asarray([v], dtype=fmt).tobytes())
+        )
     if isinstance(v, (int, np.integer)):
         return struct.pack(">IIi", _NC_INT, 1, int(v))
     return struct.pack(">IId", _NC_DOUBLE, 1, float(v))
@@ -94,7 +103,8 @@ def write_netcdf_grid(
 
     main_attrs: dict = {}
     if fill_value is not None:
-        main_attrs["_FillValue"] = float(fill_value)
+        # cast to the variable's dtype so the attribute's NC type matches
+        main_attrs["_FillValue"] = arr.dtype.type(fill_value)
     if units:
         main_attrs["units"] = units
     variables = [

@@ -96,10 +96,18 @@ def stream_zonal_stats(
     if weights is not None:
         from pyspark.sql import functions as F
 
-        wlists = static_weight_lists(meta, weights)
-        tiles = tiles.join(
-            F.broadcast(wlists), on=["tile_row", "tile_col"], how="left"
+        from ..operators.zonal import (
+            WEIGHT_BROADCAST_MAX_BYTES,
+            _weight_payload_bytes,
         )
+
+        wlists = static_weight_lists(meta, weights)
+        # size-gate the broadcast hint exactly like the batch path: a large
+        # weight raster's pre-grouped lists join as a plain stream-static
+        # equi-join (still stateless) instead of an OOM-prone broadcast
+        if _weight_payload_bytes(weights.meta) <= WEIGHT_BROADCAST_MAX_BYTES:
+            wlists = F.broadcast(wlists)
+        tiles = tiles.join(wlists, on=["tile_row", "tile_col"], how="left")
     moments = coverage_facts(
         tiles, emit="moments", feats_bc=feats_bc, values_meta=meta,
         weighted=weights is not None,

@@ -52,6 +52,23 @@ def test_cli_end_to_end(spark, tmp_path):
     assert row["v_count"] == pytest.approx(4.0)
 
 
+def test_cli_weight_sources_mutually_exclusive(tmp_path):
+    """--weight-tiles + --weight-layer together must refuse loudly (the
+    weight-layer branch would otherwise silently discard the GeoTIFF)."""
+    from exactextractr_spark.cli import main
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(
+            [
+                "--polys", "p", "--tiles", "t",
+                "--stat", "weighted_mean(v,w)",
+                "--weight-tiles", "w.tif",
+                "--weight-layer", "w",
+                "-o", str(tmp_path / "o"),
+            ]
+        )
+
+
 def test_cli_linear_mode(spark, tmp_path):
     """--linear routes to exact_extract_lines (length-weighted stats)."""
     from exactextractr_spark.cli import main

@@ -204,6 +204,54 @@ def test_multires_weights(spark):
     assert got["mean"] == pytest.approx(want_m, rel=1e-12)
 
 
+def test_large_weight_raster_shuffles_not_broadcasts(spark, monkeypatch):
+    """Above the size gate the weight tile payload must NOT be broadcast —
+    the slim-key equi-join shuffles instead, and results stay bit-exact.
+    Forces the gate with a zeroed threshold on a multi-tile weight grid."""
+    import exactextractr_spark.operators.zonal as zmod
+
+    vals = np.arange(1, 65, dtype=np.float64).reshape(8, 8)
+    wts = (np.arange(64, dtype=np.float64).reshape(8, 8) % 7) + 1.0
+    vmeta = RasterMeta("v", xmin=0, ymax=8, dx=1, dy=1, width=8, height=8,
+                       tile_w=4, tile_h=4)
+    wmeta = RasterMeta("w", xmin=0, ymax=8, dx=1, dy=1, width=8, height=8,
+                       tile_w=4, tile_h=4)
+    rv = Raster.from_array(spark, vals, vmeta)
+    rw = Raster.from_array(spark, wts, wmeta)
+    feats = features_from_wkt(
+        spark,
+        [
+            "POLYGON ((0.5 0.5, 6.5 0.5, 6.5 6.5, 0.5 6.5, 0.5 0.5))",
+            "POLYGON ((2.2 1.8, 7.9 1.8, 7.9 7.4, 2.2 7.4, 2.2 1.8))",
+        ],
+    )
+    stats = ["weighted_mean", "weighted_sum", "weighted_stdev"]
+    want = [
+        r.asDict()
+        for r in exact_extract(rv, feats, stats, weights=rw)
+        .orderBy("feature_id").collect()
+    ]
+    # force the over-threshold path; disable AQE auto-broadcast so that any
+    # BroadcastExchange left in the plan could only come from a hint
+    monkeypatch.setattr(zmod, "WEIGHT_BROADCAST_MAX_BYTES", 0)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got_df = exact_extract(rv, feats, stats, weights=rw)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # the weight-tile equi-join (keys w_tr/w_tc) must be a shuffle
+        # join, never a broadcast-hash join of the payload side; other
+        # broadcasts (per-feature aggregate result) are fine
+        import re
+
+        assert not re.search(r"BroadcastHashJoin \[w_tr", plan)
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[w_tr", plan)
+        got = [r.asDict() for r in got_df.orderBy("feature_id").collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert got == want
+
+
 def test_weighted_variance(spark, r19, sq):
     # weighted variance/stdev: population variance with weight c_i*w_i
     # (ref raster_stats.h:320-341, second WestVariance fed ciwi)

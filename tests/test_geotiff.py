@@ -47,7 +47,11 @@ def _lzw_encode(data: bytes) -> bytes:
             emit(table[w], width)
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << width) - 1 and width < 12:
+            # Early change, encoder side: the encoder's table is one entry
+            # ahead of the decoder's, so it widens at 2^width where the
+            # decoder widens at 2^width - 1 (libtiff/JDK parity — our
+            # streams decode under the JDK-validated decoder threshold).
+            if next_code == (1 << width) and width < 12:
                 width += 1
             if next_code >= 4094:  # reset before overflow
                 emit(CLEAR, width)
@@ -284,6 +288,96 @@ def test_lzw_against_reference_bitstreams():
     ]
     for c in cases:
         assert _lzw_decode(_lzw_encode(c)) == c
+    # random bytes large enough to force a dictionary reset mid-stream
+    rnd = np.random.default_rng(2).integers(0, 256, 20000).astype(np.uint8)
+    assert _lzw_decode(_lzw_encode(rnd.tobytes())) == rnd.tobytes()
+
+
+def test_lzw_external_writer_fixtures():
+    """Decode LZW TIFFs produced by an EXTERNAL writer (JDK ImageIO, libtiff
+    semantics), pinned in tests/fixtures (generator: fixtures/WriteLzw.java).
+    Guards the early-change width-bump threshold: the table crosses
+    511/1023/2047 entries and (lcg case) the 4094-entry dictionary reset —
+    a decoder that bumps one code early fails all non-constant cases."""
+    import os
+
+    from exactextractr_spark.sources.geotiff import (
+        _decompress,
+        read_tiff_info,
+    )
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def decode_all(path, info):
+        rows = []
+        with open(path, "rb") as f:
+            for i, (off, cnt) in enumerate(zip(info.offsets, info.counts)):
+                f.seek(off)
+                data = _decompress(f.read(cnt), info.compression)
+                nr = min(info.chunk_h, info.height - i * info.chunk_h)
+                rows.append(
+                    np.frombuffer(data, dtype=np.uint8)[: nr * info.width]
+                    .reshape(nr, info.width)
+                )
+        return np.vstack(rows)
+
+    # same LCG as WriteLzw.java
+    def lcg(w, h):
+        s = 12345
+        out = np.empty(w * h, dtype=np.uint8)
+        for i in range(w * h):
+            s = (s * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+            out[i] = (s >> 33) & 0xFF
+        return out.reshape(h, w)
+
+    cases = {
+        "jdk_lzw_lcg.tif": lcg(101, 73),
+        "jdk_lzw_ramp.tif": (np.arange(64 * 40) % 256)
+        .astype(np.uint8)
+        .reshape(40, 64),
+        "jdk_lzw_const.tif": np.full((30, 50), 7, np.uint8),
+    }
+    for name, expected in cases.items():
+        path = os.path.join(fixdir, name)
+        info = read_tiff_info(path)
+        assert info.compression == 5
+        np.testing.assert_array_equal(decode_all(path, info), expected)
+
+
+def test_lzw_stream_readable_by_external_decoder(tmp_path):
+    """Our test encoder's streams must decode under an external decoder
+    (JDK ImageIO) — guards against a mirrored encoder/decoder off-by-one
+    validating itself. Skipped when no JDK is on PATH."""
+    import shutil
+    import struct as _struct
+    import subprocess
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("no JDK available")
+    rng = np.random.default_rng(7)
+    arr = np.round(rng.uniform(0, 100, (83, 97)), 2).astype(np.float32)
+    tif = str(tmp_path / "ours_lzw.tif")
+    _write_tiff(tif, arr, compression=5)
+    src = tmp_path / "ReadTiff.java"
+    src.write_text(
+        "import javax.imageio.*;import java.awt.image.*;import java.io.*;"
+        "public class ReadTiff{public static void main(String[]a)throws Exception{"
+        "BufferedImage i=ImageIO.read(new File(a[0]));Raster r=i.getRaster();"
+        "int w=r.getWidth(),h=r.getHeight();DataOutputStream o=new DataOutputStream("
+        "new BufferedOutputStream(new FileOutputStream(a[1])));"
+        "o.writeInt(w);o.writeInt(h);for(int y=0;y<h;y++)for(int x=0;x<w;x++)"
+        "o.writeDouble(r.getSampleDouble(x,y,0));o.close();}}"
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path)
+    out = str(tmp_path / "px.raw")
+    subprocess.run(
+        ["java", "-cp", str(tmp_path), "ReadTiff", tif, out], check=True
+    )
+    raw = open(out, "rb").read()
+    w, h = _struct.unpack(">ii", raw[:8])
+    assert (w, h) == (97, 83)
+    got = np.frombuffer(raw[8:], dtype=">f8").reshape(h, w)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
 
 
 @pytest.mark.skipif(not os.path.isdir(SAO), reason="reference data not present")

@@ -31,6 +31,35 @@ def test_netcdf_grid_roundtrip(tmp_path):
     np.testing.assert_allclose(d["vars"]["x"][1][:2], [10.25, 10.75])
 
 
+def test_netcdf_fillvalue_matches_var_type(tmp_path):
+    """CF: _FillValue must carry the variable's own NC type — a float32 var
+    gets an NC_FLOAT (type 5) fill attribute, not NC_DOUBLE."""
+    from exactextractr_spark.sources.netcdf import (
+        read_netcdf_grid,
+        write_netcdf_grid,
+    )
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    arr[0, 1] = np.nan
+    p = str(tmp_path / "f32.nc")
+    write_netcdf_grid(p, arr, xmin=0, ymax=3, dx=1.0, fill_value=-9.5)
+    d = read_netcdf_grid(p)
+    va, vd = d["vars"]["value"]
+    assert va["_FillValue"].dtype.kind == "f"
+    assert va["_FillValue"].dtype.itemsize == 4
+    assert float(va["_FillValue"]) == -9.5
+    assert vd.dtype.str.endswith("f4")
+    assert vd[0, 1] == np.float32(-9.5)
+    # raw bytes: the attr's NC type id must be NC_FLOAT(5); scan the header
+    # for the attribute name followed by the type word
+    buf = open(p, "rb").read()
+    i = buf.index(b"_FillValue")
+    import struct as _s
+
+    typ = _s.unpack(">I", buf[i + 12 : i + 16])[0]  # name padded to 12
+    assert typ == 5  # NC_FLOAT
+
+
 def test_netcdf_table_roundtrip(tmp_path):
     import pandas as pd
 

@@ -436,6 +436,28 @@ def test_streaming_zonal_matches_batch(spark, tmp_path):
         stream_zonal_stats(spark, src, feats, ["weighted_mean"], meta=meta,
                            checkpoint_dir=str(tmp_path / "ck3"))
 
+    # over-threshold weight raster: the stream-static join must run WITHOUT
+    # the broadcast hint and still match batch bit-for-bit
+    import exactextractr_spark.operators.zonal as zmod
+
+    old_gate = zmod.WEIGHT_BROADCAST_MAX_BYTES
+    zmod.WEIGHT_BROADCAST_MAX_BYTES = 0
+    try:
+        qg = stream_zonal_stats(
+            spark, src, feats, wstats, meta=meta, weights=wraster,
+            checkpoint_dir=str(tmp_path / "ckg"), query_name="zs_test_g",
+            max_files_per_trigger=1,
+        )
+        qg.awaitTermination(180)
+        got_g = {r["feature_id"]: r.asDict()
+                 for r in spark.table("zs_test_g").collect()}
+    finally:
+        zmod.WEIGHT_BROADCAST_MAX_BYTES = old_gate
+    assert set(got_g) == set(want_w)
+    for fid in want_w:
+        for s in wstats:
+            assert got_g[fid][s] == pytest.approx(want_w[fid][s], rel=1e-12)
+
 
 def _wav_bytes(samples: np.ndarray, sr: int, channels: int = 1) -> bytes:
     """Minimal PCM16 RIFF/WAVE writer for tests."""

@@ -9,6 +9,13 @@ form for the families that need no datum math (all WGS84-based):
 - WGS84 / UTM zones (EPSG:326xx north, EPSG:327xx south) via the
   Karney–Krüger transverse-mercator series to n^4 (sub-mm over a zone;
   the same series GeographicLib/PROJ's tmerc uses)
+- Helmert-shifted named TM CRSs (EPSG:27700 OSGB, EPSG:2193 NZTM,
+  ETRS89/UTM EPSG:258xx)
+- conic/azimuthal CRSs on WGS84-equivalent datums: Lambert conformal
+  conic 2SP (EPSG:2154 Lambert-93), Albers equal-area (EPSG:5070 CONUS),
+  Lambert azimuthal equal-area (EPSG:3035 Europe) — Snyder PP1395
+  closed forms, validated against its published worked examples and by
+  numeric conformality/equal-area Jacobian checks (test_crs_conic.py)
 
 Any pair within this family composes through lon/lat. Every other
 mismatched pair raises with the reference's guidance — never a silent
@@ -118,6 +125,7 @@ def _supported(crs: str) -> bool:
         c in ("EPSG:4326", "EPSG:3857")
         or _utm_zone(c) is not None
         or c in _NAMED_TM
+        or c in _NAMED_CONIC
     )
 
 
@@ -274,6 +282,201 @@ def _named_tm_to_lonlat(e, n, code: str):
     return _geocentric_to_geodetic(xyz[0], xyz[1], xyz[2], _R, _F)
 
 
+# ---------------------------------------------------------------------------
+# conic / azimuthal projections: Lambert Conformal Conic (2SP), Albers
+# equal-area conic, Lambert azimuthal equal-area — the dominant projected
+# CRSs outside the transverse-mercator family (France, CONUS, Europe-wide).
+# Formulas: Snyder, "Map Projections — A Working Manual" (USGS PP 1395),
+# §15 (LCC, eq. 15-1..15-11), §14 (Albers, eq. 14-1..14-21), §24 (LAEA
+# oblique ellipsoidal, eq. 24-2..24-38 with 3-11/3-16/3-18 aux latitudes).
+# The reference reprojects ANY pair via PROJ (R/exact_extract.R:360-377);
+# this covers the same common cases without a PROJ wheel.
+# ---------------------------------------------------------------------------
+
+#: code -> (kind, a, f, lat1, lat2, lat0, lon0, FE, FN); datum for all
+#: three is GRS80 on a WGS84-equivalent frame (RGF93 / NAD83 / ETRS89 —
+#: identity Helmert at the accuracy of this module, the same equivalence
+#: PROJ applies without a deformation grid).
+_GRS80_A, _GRS80_F = 6378137.0, 1.0 / 298.257222101
+_NAMED_CONIC = {
+    # RGF93 / Lambert-93 (France)
+    "EPSG:2154": ("lcc", _GRS80_A, _GRS80_F, 44.0, 49.0, 46.5, 3.0,
+                  700_000.0, 6_600_000.0),
+    # NAD83 / Conus Albers
+    "EPSG:5070": ("albers", _GRS80_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0,
+                  0.0, 0.0),
+    # ETRS89-extended / LAEA Europe
+    "EPSG:3035": ("laea", _GRS80_A, _GRS80_F, None, None, 52.0, 10.0,
+                  4_321_000.0, 3_210_000.0),
+}
+
+
+def _conic_m(phi, e2):
+    """Snyder eq. 14-15: radius of a parallel / a."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _conic_t(phi, e):
+    """Snyder eq. 15-9: isometric colatitude function,
+    t = tan(pi/4 - chi/2) with chi the conformal latitude."""
+    s = np.sin(phi)
+    return np.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+def _conic_q(phi, e, e2):
+    """Snyder eq. 3-12: authalic-latitude function q."""
+    s = np.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _authalic_to_geodetic(beta, e2):
+    """Snyder eq. 3-18: series from authalic latitude beta to geodetic."""
+    return (
+        beta
+        + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0)
+        * np.sin(2.0 * beta)
+        + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e2**3 / 45360.0) * np.sin(6.0 * beta)
+    )
+
+
+def _conformal_to_geodetic(chi, a, f):
+    """chi -> phi via the Krüger delta series for the given ellipsoid."""
+    _ab, _al, _be, delta, _es = _series_consts(a, f)
+    phi = chi.copy()
+    for j, d_j in enumerate(delta, start=1):
+        phi += d_j * np.sin(2 * j * chi)
+    return phi
+
+
+def _conic_from_lonlat(lon, lat, code: str):
+    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = _NAMED_CONIC[code]
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    # wrap the longitude difference into (-180, 180] so cones cut at the
+    # antimeridian of the central meridian, like PROJ
+    dlam = np.radians((lon - lon0 + 180.0) % 360.0 - 180.0)
+    p0 = math.radians(lat0)
+    if kind == "lcc":
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+        t0, t1, t2 = (_conic_t(p, e) for p in (p0, p1, p2))
+        n = (
+            math.sin(p1)
+            if abs(lat1 - lat2) < 1e-12
+            else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        )
+        F_ = m1 / (n * t1**n)
+        rho0 = a * F_ * t0**n
+        rho = a * F_ * _conic_t(phi, e) ** n
+        th = n * dlam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+    if kind == "albers":
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+        q0, q1, q2 = (_conic_q(p, e, e2) for p in (p0, p1, p2))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + n * q1
+        rho0 = a * math.sqrt(C - n * q0) / n
+        rho = a * np.sqrt(C - n * _conic_q(phi, e, e2)) / n
+        th = n * dlam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+    # laea (oblique, Snyder eq. 24-2..24-19 with qp from eq. 3-12 at 90°)
+    qp = _conic_q(np.array(math.pi / 2.0), e, e2)
+    q0 = _conic_q(np.array(p0), e, e2)
+    q = _conic_q(phi, e, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    beta0 = math.asin(min(1.0, max(-1.0, float(q0 / qp))))
+    rq = a * math.sqrt(float(qp) / 2.0)
+    m0 = _conic_m(np.array(p0), e2)
+    d = a * float(m0) / (rq * math.cos(beta0))
+    cb, sb = np.cos(beta), np.sin(beta)
+    denom = 1.0 + math.sin(beta0) * sb + math.cos(beta0) * cb * np.cos(dlam)
+    b = rq * np.sqrt(2.0 / denom)
+    x = b * d * cb * np.sin(dlam)
+    y = (b / d) * (math.cos(beta0) * sb - math.sin(beta0) * cb * np.cos(dlam))
+    return fe + x, fn + y
+
+
+def _conic_to_lonlat(x, y, code: str):
+    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = _NAMED_CONIC[code]
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    p0 = math.radians(lat0)
+    if kind == "lcc":
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+        t0, t1, t2 = (_conic_t(p, e) for p in (p0, p1, p2))
+        n = (
+            math.sin(p1)
+            if abs(lat1 - lat2) < 1e-12
+            else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        )
+        F_ = m1 / (n * t1**n)
+        rho0 = a * F_ * t0**n
+        sgn = 1.0 if n >= 0 else -1.0
+        rho = sgn * np.hypot(x, rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (rho0 - y))
+        t = (rho / (a * F_)) ** (1.0 / n)
+        chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = _conformal_to_geodetic(chi, a, f)
+        return (
+            lon0 + np.degrees(th / n),
+            np.degrees(phi),
+        )
+    if kind == "albers":
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+        q0, q1, q2 = (_conic_q(p, e, e2) for p in (p0, p1, p2))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + n * q1
+        rho0 = a * math.sqrt(C - n * q0) / n
+        sgn = 1.0 if n >= 0 else -1.0
+        rho = sgn * np.hypot(x, rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (rho0 - y))
+        q = (C - (rho * n / a) ** 2) / n
+        qp = _conic_q(np.array(math.pi / 2.0), e, e2)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = _authalic_to_geodetic(beta, e2)
+        return lon0 + np.degrees(th / n), np.degrees(phi)
+    # laea inverse (Snyder eq. 24-26..24-36)
+    qp = float(_conic_q(np.array(math.pi / 2.0), e, e2))
+    q0 = float(_conic_q(np.array(p0), e, e2))
+    beta0 = math.asin(min(1.0, max(-1.0, q0 / qp)))
+    rq = a * math.sqrt(qp / 2.0)
+    m0 = float(_conic_m(np.array(p0), e2))
+    d = a * m0 / (rq * math.cos(beta0))
+    rho = np.hypot(x / d, d * y)
+    # points at the projection origin: ce=0; guard the 0/0 with a where
+    safe_rho = np.where(rho == 0.0, 1.0, rho)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    q = qp * (
+        np.cos(ce) * math.sin(beta0)
+        + (d * y * np.sin(ce) * math.cos(beta0)) / safe_rho
+    )
+    q = np.where(rho == 0.0, qp * math.sin(beta0), q)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = _authalic_to_geodetic(beta, e2)
+    lam = np.arctan2(
+        x * np.sin(ce),
+        d * safe_rho * math.cos(beta0) * np.cos(ce)
+        - d * d * y * math.sin(beta0) * np.sin(ce),
+    )
+    lam = np.where(rho == 0.0, 0.0, lam)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
 def _to_lonlat(
     x: np.ndarray, y: np.ndarray, crs: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -297,6 +500,8 @@ def _to_lonlat(
         return _tm_inverse(e, n / _K0, lon0)
     if c in _NAMED_TM:
         return _named_tm_to_lonlat(x, y, c)
+    if c in _NAMED_CONIC:
+        return _conic_to_lonlat(x, y, c)
     raise _unsupported(crs)
 
 
@@ -327,17 +532,19 @@ def _from_lonlat(
         return e, n
     if c in _NAMED_TM:
         return _named_tm_from_lonlat(lon, lat, c)
+    if c in _NAMED_CONIC:
+        return _conic_from_lonlat(lon, lat, c)
     raise _unsupported(crs)
 
 
 def _unsupported(crs: str) -> ValueError:
-    named = ", ".join(sorted(_NAMED_TM))
+    named = ", ".join(sorted(_NAMED_TM) + sorted(_NAMED_CONIC))
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
         f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "
-        "(Helmert-shifted TM). Transform the features to the raster CRS "
-        "first (the reference transforms automatically via PROJ, "
-        "R/exact_extract.R:360-377)"
+        "(Helmert-shifted TM / conic / azimuthal). Transform the features "
+        "to the raster CRS first (the reference transforms automatically "
+        "via PROJ, R/exact_extract.R:360-377)"
     )
 
 

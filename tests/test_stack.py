@@ -196,8 +196,8 @@ def test_mixed_geometry_collection_rejected(spark):
 
 def test_crs_mismatch_fails_loudly(spark):
     # a pair with no closed-form transform raises with guidance
-    # (EPSG:2154 is a Lambert conformal conic — not implemented)
-    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:2154")
+    # (EPSG:2056 is the Swiss oblique mercator — not implemented)
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:2056")
     meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
                       tile_w=3, tile_h=3, crs="EPSG:4326")
     r = Raster.from_array(spark, np.ones((3, 3)), meta)
@@ -374,8 +374,8 @@ def test_crs_auto_transform_4326_to_3857(spark):
     want = exact_extract(r, feats_m, ["sum", "count"]).collect()[0]
     assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
     assert got["count"] == pytest.approx(want["count"], rel=1e-9)
-    # unsupported pair still raises (conic projection, not implemented)
-    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:2154")
+    # unsupported pair still raises (oblique mercator, not implemented)
+    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:2056")
     with pytest.raises(ValueError, match="no closed-form transform"):
         exact_extract(r, feats_bad, ["count"])
 
@@ -389,7 +389,9 @@ def test_utm_transform_series():
     assert can_transform("EPSG:32633", "EPSG:4326")
     assert can_transform("EPSG:32733", "EPSG:3857")
     assert can_transform("EPSG:27700", "EPSG:4326")  # Helmert-shifted TM
-    assert not can_transform("EPSG:2154", "EPSG:4326")  # conic: unsupported
+    assert can_transform("EPSG:2154", "EPSG:4326")  # LCC (closed-form)
+    assert can_transform("EPSG:5070", "EPSG:3035")  # Albers <-> LAEA
+    assert not can_transform("EPSG:2056", "EPSG:4326")  # oblique mercator
     # central-meridian/equator anchors (exact by construction)
     e, n = transform_xy(np.array([15.0]), np.array([0.0]),
                         "EPSG:4326", "EPSG:32633")

@@ -3,8 +3,9 @@
 Image/audio/video travel as ``binary`` columns with typed metadata
 (w, h, fmt, caption — the BASELINE.json input shape). The Spark-side
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is real
-and tested; PNG decode is fully real (core/png.py). Decoders for formats
-whose codecs aren't in this container (jpeg/webp/audio/video) are stubbed
+and tested; PNG decode (core/png.py), baseline JPEG decode (core/jpeg.py)
+and WAV-PCM decode are fully real. Decoders for formats whose codecs
+aren't implementable here (webp, compressed audio, video) are stubbed
 behind ``NotImplementedError`` with a deterministic fake available for
 pipeline testing.
 """
@@ -36,10 +37,19 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Dispatch by format. PNG (our float-packed tiles) decodes for real;
-    other codecs are not available in this container."""
+    """Dispatch by format. PNG (our float-packed tiles) and baseline JPEG
+    (core/jpeg.py, pure numpy) decode for real; color JPEG reduces to
+    BT.601 luma so every decoder returns one (h, w) plane. webp/video
+    codecs are not available in this container."""
     if fmt == "png":
         return decode_tile(data, w, h)
+    if fmt in ("jpeg", "jpg"):
+        from ..core.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        if px.ndim == 3:
+            px = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        return px
     if fmt == "fake":
         # deterministic fake decode: pixels from the payload hash, so the
         # pipeline shape (batching, schema, feature extraction) is testable
@@ -48,7 +58,8 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return rng.uniform(0, 255, (h, w))
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in this environment; "
-        "only 'png' (real) and 'fake' (deterministic stub) are supported"
+        "'png' and baseline 'jpeg' decode for real, 'fake' is a "
+        "deterministic stub"
     )
 
 

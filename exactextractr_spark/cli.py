@@ -72,7 +72,8 @@ def main(argv=None):
         help="features are LineStrings: stats weight by per-cell traversal "
         "length (the reference CLI's linear mode; weighted stats invalid)",
     )
-    p.add_argument("--format", choices=["parquet", "csv", "geojson", "netcdf"],
+    p.add_argument("--format",
+                   choices=["parquet", "csv", "geojson", "netcdf", "gpkg"],
                    default="parquet",
                    help="geojson writes ONE FeatureCollection with the input "
                    "geometries + stat properties (the reference CLI's OGR "
@@ -217,11 +218,35 @@ def main(argv=None):
 
         pdf_out = out.toPandas()
         write_netcdf_table(args.output, pdf_out)
+    elif args.format == "gpkg":
+        from .sources.geopackage import write_gpkg
+
+        geo_cols = ["feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"]
+        has_crs = "crs" in feats.columns
+        geo_rows = feats.select(
+            *geo_cols, *(["crs"] if has_crs else [])
+        ).collect()
+        geoms = {r["feature_id"]: bytes(r["geom"]) for r in geo_rows}
+        envs = {
+            r["feature_id"]: (r["fxmin"], r["fymin"], r["fxmax"], r["fymax"])
+            for r in geo_rows
+        }
+        crs0 = geo_rows[0]["crs"] if (has_crs and geo_rows) else None
+        srs = (
+            int(str(crs0).split(":", 1)[1])
+            if crs0 and str(crs0).upper().startswith("EPSG:")
+            else 0
+        )
+        pdf_out = out.toPandas()
+        write_gpkg(
+            args.output, pdf_out, geoms,
+            table="zonal_stats", srs_id=srs, envelopes=envs,
+        )
     else:
         out.write.mode("overwrite").parquet(args.output)
     if args.format == "geojson":
         n = len(features_json)
-    elif args.format == "netcdf":
+    elif args.format in ("netcdf", "gpkg"):
         n = len(pdf_out)
     else:
         n = spark.read.format(args.format).option("header", "true").load(args.output).count()

@@ -1,4 +1,4 @@
-"""GeoPackage (.gpkg) vector source — stdlib sqlite3, no GDAL/OGR.
+"""GeoPackage (.gpkg) vector source AND sink — stdlib sqlite3, no GDAL/OGR.
 
 The reference reads features through sf/OGR (``R/exact_extract.R:450``,
 vignettes read ``inst/sao_miguel/concelhos.gpkg``). A GeoPackage is a
@@ -118,3 +118,173 @@ def read_gpkg(
         attrs = df.select("feature_id", *keep_cols)
         return feats, attrs
     return feats
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+_WGS84_DEF = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+)
+
+_WKB_TYPE_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+    4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+    7: "GEOMETRYCOLLECTION",
+}
+
+
+def _wkb_geom_type(wkb: bytes) -> int:
+    if len(wkb) < 5:
+        return 0
+    import struct as _s
+
+    little = wkb[0] == 1
+    (t,) = _s.unpack("<I" if little else ">I", wkb[1:5])
+    return int(t & 0xFF)  # mask EWKB SRID/Z/M flag bits
+
+
+def _gpb_wrap(wkb: bytes, srs_id: int, env: "tuple | None") -> bytes:
+    """WKB -> GPB blob (GeoPackage spec §2.1.3): little-endian header,
+    32-byte XY envelope when provided."""
+    flags = 0x01 | ((0x01 if env is not None else 0x00) << 1)
+    head = b"GP" + bytes([0, flags]) + struct.pack("<i", srs_id)
+    if env is not None:
+        xmin, ymin, xmax, ymax = env
+        head += struct.pack("<4d", xmin, xmax, ymin, ymax)
+    return head + wkb
+
+
+def _sql_type(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u", "b"):
+        return "INTEGER"
+    if k == "f":
+        return "REAL"
+    return "TEXT"
+
+
+def write_gpkg(
+    path: str,
+    attrs: pd.DataFrame,
+    geoms: "dict[int, bytes]",
+    *,
+    table: str = "features",
+    srs_id: int = 4326,
+    envelopes: "dict[int, tuple] | None" = None,
+) -> None:
+    """Write a GeoPackage feature table (reference parity: the CLI writes
+    any OGR format through GDALWriter, src/exactextract/src/gdal_writer.h:
+    25-54; GPKG is the natural round-trip sink for the GPKG source above).
+
+    ``attrs`` must contain ``feature_id``; every other column becomes an
+    attribute (INTEGER/REAL/TEXT by dtype). ``geoms`` maps feature_id ->
+    WKB. Envelope per feature is taken from ``envelopes`` or computed from
+    the parsed geometry. Creates the required gpkg_spatial_ref_sys,
+    gpkg_contents and gpkg_geometry_columns entries and stamps the GPKG
+    application_id, so external readers recognize the file."""
+    import os
+
+    from ..core.geom import from_wkb
+
+    if "feature_id" not in attrs.columns:
+        raise ValueError("attrs must contain a feature_id column")
+    if os.path.exists(path):
+        os.remove(path)
+    ids = list(attrs["feature_id"])
+    missing = [i for i in ids if i not in geoms]
+    if missing:
+        raise ValueError(f"no geometry for feature_id(s) {missing[:5]}")
+    envs = {}
+    for i in ids:
+        if envelopes is not None and i in envelopes:
+            envs[i] = tuple(envelopes[i])
+        else:
+            envs[i] = from_wkb(geoms[i]).bounds()
+    gtypes = {_wkb_geom_type(geoms[i]) for i in ids}
+    gname = (
+        _WKB_TYPE_NAMES[next(iter(gtypes))]
+        if len(gtypes) == 1 and next(iter(gtypes)) in _WKB_TYPE_NAMES
+        else "GEOMETRY"
+    )
+    attr_cols = [c for c in attrs.columns if c != "feature_id"]
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")  # GeoPackage 1.3
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER "
+            "NOT NULL, definition TEXT NOT NULL, description TEXT)"
+        )
+        srs_rows = [
+            ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+            ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+            ("WGS 84", 4326, "EPSG", 4326, _WGS84_DEF, None),
+        ]
+        if srs_id not in (-1, 0, 4326):
+            srs_rows.append(
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, "undefined", None)
+            )
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)", srs_rows
+        )
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+            "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
+            "description TEXT DEFAULT '', last_change DATETIME NOT NULL "
+            "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
+            "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
+            "NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, "
+            "column_name))"
+        )
+        col_defs = "".join(
+            f', "{c}" {_sql_type(attrs[c].dtype)}' for c in attr_cols
+        )
+        con.execute(
+            f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT,'
+            f" geom BLOB{col_defs})"
+        )
+        rows = []
+        for _, r in attrs.iterrows():
+            fid = int(r["feature_id"])
+            vals = []
+            for c in attr_cols:
+                v = r[c]
+                if v is None or (isinstance(v, float) and v != v):
+                    vals.append(None)
+                elif _sql_type(attrs[c].dtype) == "INTEGER":
+                    vals.append(int(v))
+                elif _sql_type(attrs[c].dtype) == "REAL":
+                    vals.append(float(v))
+                else:
+                    vals.append(str(v))
+            rows.append(
+                (fid, _gpb_wrap(geoms[fid], srs_id, envs[fid]), *vals)
+            )
+        ph = ",".join("?" * (2 + len(attr_cols)))
+        con.executemany(f'INSERT INTO "{table}" VALUES ({ph})', rows)
+        xs0 = min(envs[i][0] for i in ids) if ids else None
+        ys0 = min(envs[i][1] for i in ids) if ids else None
+        xs1 = max(envs[i][2] for i in ids) if ids else None
+        ys1 = max(envs[i][3] for i in ids) if ids else None
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+            (table, "features", table, xs0, ys0, xs1, ys1, srs_id),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (table, "geom", gname, srs_id),
+        )
+        con.commit()
+    finally:
+        con.close()

@@ -579,3 +579,105 @@ def test_cog_overviews_roundtrip(spark, tmp_path):
     r2 = read_geotiff(spark, p, overview=2)
     assert r2.meta.dx == 4.0
     np.testing.assert_array_equal(_collect_array(r2), ov2)
+
+
+def test_gpkg_write_read_roundtrip(spark, tmp_path):
+    """write_gpkg -> read_gpkg round-trip: WKB bytes, bboxes, srs and
+    attribute values survive; required GPKG metadata tables exist with the
+    GPKG application_id so external readers recognize the file."""
+    import sqlite3
+
+    import pandas as pd
+
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.geopackage import (
+        list_feature_tables,
+        read_gpkg,
+        write_gpkg,
+    )
+
+    feats = features_from_wkt(
+        spark,
+        ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))",
+         "POLYGON ((3 3, 5 3, 5 6, 3 6, 3 3))"],
+        crs="EPSG:4326",
+    )
+    rows = feats.collect()
+    geoms = {r["feature_id"]: bytes(r["geom"]) for r in rows}
+    attrs = pd.DataFrame(
+        {
+            "feature_id": [r["feature_id"] for r in rows],
+            "mean": [12.5, 7.25],
+            "label": ["a", "b"],
+            "n": [4, 6],
+        }
+    )
+    p = str(tmp_path / "out.gpkg")
+    write_gpkg(p, attrs, geoms, table="stats", srs_id=4326)
+
+    assert list_feature_tables(p) == [("stats", "geom", 4326)]
+    back, battrs = read_gpkg(spark, p, keep_cols=["mean", "label", "n"])
+    brows = {r["feature_id"]: r for r in back.collect()}
+    assert set(brows) == set(geoms)
+    for fid, r in brows.items():
+        assert bytes(r["geom"]) == geoms[fid]  # WKB byte-identical
+        assert r["crs"] == "EPSG:4326"
+    arows = {r["feature_id"]: r for r in battrs.collect()}
+    assert arows[1]["mean"] == 12.5 and arows[1]["label"] == "a"
+    assert arows[2]["n"] == 6
+    con = sqlite3.connect(p)
+    try:
+        (app_id,) = con.execute("PRAGMA application_id").fetchone()
+        assert app_id == 0x47504B47  # 'GPKG'
+        (cnt,) = con.execute(
+            "SELECT COUNT(*) FROM gpkg_spatial_ref_sys WHERE srs_id IN "
+            "(-1, 0, 4326)"
+        ).fetchone()
+        assert cnt == 3
+        row = con.execute(
+            "SELECT data_type, srs_id, min_x, max_y FROM gpkg_contents "
+            "WHERE table_name='stats'"
+        ).fetchone()
+        assert row[0] == "features" and row[1] == 4326
+        assert row[2] == 0.5 and row[3] == 6.0
+        gname = con.execute(
+            "SELECT geometry_type_name FROM gpkg_geometry_columns"
+        ).fetchone()[0]
+        assert gname == "POLYGON"
+    finally:
+        con.close()
+
+
+def test_cli_gpkg_sink(spark, tmp_path):
+    import numpy as np
+
+    from exactextractr_spark.cli import main
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.geopackage import read_gpkg
+    from exactextractr_spark.sources.tiles import (
+        RasterMeta,
+        tile_table_from_array,
+    )
+
+    arr = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+    meta = RasterMeta("v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
+                      tile_w=3, tile_h=3)
+    tiles_path = str(tmp_path / "tiles")
+    tile_table_from_array(spark, arr, meta).write.parquet(tiles_path)
+    feats_path = str(tmp_path / "feats")
+    features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"]
+    ).select("feature_id", "geom").write.parquet(feats_path)
+    out = str(tmp_path / "out.gpkg")
+    main(
+        [
+            "--polys", feats_path, "--tiles", tiles_path,
+            "--stat", "m=mean(v)", "--stat", "s=sum(v)",
+            "--format", "gpkg", "-o", out,
+        ]
+    )
+    feats, attrs = read_gpkg(spark, out, keep_cols=["m", "s"])
+    assert feats.count() == 1
+    row = attrs.collect()[0]
+    assert row["m"] == pytest.approx(5.0)
+    assert row["s"] == pytest.approx(20.0)

@@ -24,17 +24,40 @@ from ..core.cellindex import CellIndex
 
 
 def _disk_cells_udf(index: CellIndex, res: int):
+    """Batch-vectorized Chebyshev annulus: cells with ring distance in
+    [r_in, r_out] around each query's cell. One meshgrid of offsets per
+    DISTINCT (r_in, r_out) pair in the Arrow batch (a round shares one
+    pair across all remaining queries), then a single broadcasted add +
+    clip + pack over all rows — no per-row/per-shell Python loops."""
     schema = T.ArrayType(T.LongType())
+    n = index.n(res)
+    sx = (index.xmax - index.xmin) / n
+    sy = (index.ymax - index.ymin) / n
+    xmin, ymin = index.xmin, index.ymin
 
     @F.pandas_udf(schema)
-    def cells_for(x: pd.Series, y: pd.Series, r_in: pd.Series, r_out: pd.Series) -> pd.Series:
-        out = []
-        for xi, yi, ri, ro in zip(x, y, r_in, r_out):
-            cid = int(index.cell_of(np.float64(xi), np.float64(yi), res))
-            acc = []
-            for k in range(int(ri), int(ro) + 1):
-                acc.extend(int(c) for c in index.ring(cid, k))
-            out.append(acc)
+    def cells_for(
+        x: pd.Series, y: pd.Series, r_in: pd.Series, r_out: pd.Series
+    ) -> pd.Series:
+        xv = x.to_numpy(np.float64)
+        yv = y.to_numpy(np.float64)
+        ri = r_in.to_numpy(np.int64)
+        ro = r_out.to_numpy(np.int64)
+        ix = np.clip(np.floor((xv - xmin) / sx).astype(np.int64), 0, n - 1)
+        iy = np.clip(np.floor((yv - ymin) / sy).astype(np.int64), 0, n - 1)
+        out: list = [None] * len(xv)
+        for a, b in set(zip(ri.tolist(), ro.tolist())):
+            rows = np.nonzero((ri == a) & (ro == b))[0]
+            d = np.arange(-b, b + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(d, d, indexing="ij")
+            ann = np.maximum(np.abs(gx), np.abs(gy)) >= a
+            offx, offy = gx[ann], gy[ann]
+            cx = ix[rows][:, None] + offx[None, :]
+            cy = iy[rows][:, None] + offy[None, :]
+            valid = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+            packed = (np.int64(res) << 58) | (cx << 29) | cy
+            for j, row in enumerate(rows):
+                out[row] = packed[j][valid[j]]
         return pd.Series(out)
 
     return cells_for

@@ -42,6 +42,7 @@ def exact_extract_stack(
     weights: "list[Raster] | None" = None,
     full_colnames: bool = False,
     colname_fun=None,
+    single_pass: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Run stats layer-by-layer (stack_apply) and join results on
@@ -49,12 +50,18 @@ def exact_extract_stack(
 
     ``colname_fun`` (ref R/exact_extract.R:288, exact_extract_helpers.R:
     96-118): callable ``(fun_name, values, weights, fun_value, nvalues,
-    nweights) -> str`` overriding the default naming entirely."""
+    nweights) -> str`` overriding the default naming entirely.
+    ``single_pass=False`` forces the per-layer loop (equivalence oracle
+    for the fast path's tests)."""
     if isinstance(stats, str):
         stats = [stats]
-    single = _stack_single_pass(
-        values, features, stats, weights=weights,
-        full_colnames=full_colnames, colname_fun=colname_fun, **kwargs,
+    single = (
+        _stack_single_pass(
+            values, features, stats, weights=weights,
+            full_colnames=full_colnames, colname_fun=colname_fun, **kwargs,
+        )
+        if single_pass
+        else None
     )
     if single is not None:
         return single
@@ -119,7 +126,12 @@ def _stack_single_pass(
     if weights is not None or kwargs or len(values) < 2:
         return None
     v0 = values[0]
-    if v0._raw is None or any(r._raw is not v0._raw for r in values[1:]):
+    if any(r._raw is None for r in values):
+        return None
+    shared_raw = all(r._raw is v0._raw for r in values[1:])
+    if not shared_raw and len(set(r.meta.layer for r in values)) != len(values):
+        # distinct tables need distinct layer tags: a duplicated layer name
+        # would double-count tiles in the unioned pass — fall back
         return None
     # identical-grid gate: resolution, origin AND extent (width/height) must
     # match, compared with the same relative tolerance Grid.compatible_with
@@ -143,7 +155,19 @@ def _stack_single_pass(
         return None
 
     layers = [r.meta.layer for r in values]
-    tiles = raw_tiles_with_meta(v0._raw).filter(F.col("layer").isin(layers))
+    if shared_raw:
+        tiles = raw_tiles_with_meta(v0._raw).filter(F.col("layer").isin(layers))
+    else:
+        # layers in DIFFERENT tile tables but on one grid: union the tagged
+        # per-layer tile frames — still ONE kernel pass + ONE aggregate
+        # (each source is scanned once either way; what the union saves is
+        # the per-layer kernel/agg jobs and the N-way result join)
+        from functools import reduce
+
+        tiles = reduce(
+            DataFrame.unionByName,
+            [raw_tiles_with_meta(r._raw, layer=r.meta.layer) for r in values],
+        )
     # ONE bounded driver job: limit(200_001).collect() both counts and
     # fetches — if the limit row comes back the table is too big for the
     # broadcast path and nothing oversized ever lands on the driver

@@ -581,26 +581,40 @@ def write_geotiff(
     header_sz, inline = 8, 4
     base_w, base_h = None, None
 
+    def _prep_strip(s: np.ndarray) -> bytes:
+        if nodata is not None and s.dtype.kind == "f":
+            s = np.where(np.isnan(s), nodata, s)
+        if s.dtype.byteorder == ">":
+            s = s.astype(s.dtype.newbyteorder("<"))
+        raw = np.ascontiguousarray(s).tobytes()
+        return zlib.compress(raw) if comp_code == 8 else raw
+
     def build_section(
-        a: np.ndarray, base_off: int, is_base: bool
+        a, base_off: int, is_base: bool
     ) -> "tuple[bytes, int]":
         """(section bytes, IFD offset within section) for one image, laid
         out at absolute offset ``base_off``. The IFD's next pointer is 0 —
-        the caller patches it (the section's last 4 bytes)."""
+        the caller patches it (the section's last 4 bytes).
+
+        ``a`` is a 2-D array OR a lazy strip source tuple
+        ``(strip_iter, h, w, np_dtype)`` whose strips (rows_per_strip rows
+        each, last one shorter) are consumed ONE AT A TIME — only the
+        compressed bytes accumulate, never the dense image."""
         nonlocal base_w, base_h
-        a = np.asarray(a)
-        if a.ndim != 2:
-            raise ValueError("write_geotiff takes 2-D single-band arrays")
-        if nodata is not None and a.dtype.kind == "f":
-            a = np.where(np.isnan(a), nodata, a)
-        bps, fmt = _tiff_dtype_tags(a)
-        if a.dtype.byteorder == ">":
-            a = a.astype(a.dtype.newbyteorder("<"))
-        h, w = a.shape
-        chunks = []
-        for r0 in range(0, h, rows_per_strip):
-            raw = np.ascontiguousarray(a[r0 : r0 + rows_per_strip]).tobytes()
-            chunks.append(zlib.compress(raw) if comp_code == 8 else raw)
+        if isinstance(a, tuple):
+            strip_iter, h, w, np_dtype = a
+            bps, fmt = _tiff_dtype_tags(np.empty(0, dtype=np_dtype))
+            chunks = [_prep_strip(s) for s in strip_iter]
+        else:
+            a = np.asarray(a)
+            if a.ndim != 2:
+                raise ValueError("write_geotiff takes 2-D single-band arrays")
+            bps, fmt = _tiff_dtype_tags(a)
+            h, w = a.shape
+            chunks = [
+                _prep_strip(a[r0 : r0 + rows_per_strip])
+                for r0 in range(0, h, rows_per_strip)
+            ]
 
         entries: "list[tuple[int, int, object]]" = []
 
@@ -694,14 +708,46 @@ def resample_to_geotiff(
     """Materialize an ``exact_resample`` result (dst_row, dst_col, value)
     onto ``dst_meta``'s grid and write it as a GeoTIFF — the full
     read-tif → resample → write-tif round the reference performs through
-    GDAL."""
-    arr = np.full((dst_meta.height, dst_meta.width), fill, dtype=dtype)
-    for r in facts.collect():
-        arr[int(r["dst_row"]), int(r["dst_col"])] = r["value"]
+    GDAL.
+
+    Driver memory is bounded by ONE strip of dense pixels (rows_per_strip
+    × width) plus the compressed output: the facts stream through
+    ``toLocalIterator`` sorted by (dst_row, dst_col), and each completed
+    strip is compressed immediately — the dense destination array is
+    never materialized."""
+    H, W = dst_meta.height, dst_meta.width
+    rows_per_strip = 64
+    np_dtype = np.dtype(dtype)
+
+    def strip_source():
+        it = (
+            facts.select("dst_row", "dst_col", "value")
+            .orderBy("dst_row", "dst_col")
+            .toLocalIterator()
+        )
+        base = 0
+        strip = np.full((min(rows_per_strip, H), W), fill, dtype=np_dtype)
+        for r in it:
+            row = int(r["dst_row"])
+            while row >= base + strip.shape[0]:
+                yield strip
+                base += strip.shape[0]
+                strip = np.full(
+                    (min(rows_per_strip, H - base), W), fill, dtype=np_dtype
+                )
+            strip[row - base, int(r["dst_col"])] = r["value"]
+        while base < H:
+            yield strip
+            base += strip.shape[0]
+            if base < H:
+                strip = np.full(
+                    (min(rows_per_strip, H - base), W), fill, dtype=np_dtype
+                )
+
     nodata = None if np.isnan(fill) else float(fill)
     write_geotiff(
         path,
-        arr,
+        (strip_source(), H, W, np_dtype),
         xmin=dst_meta.xmin,
         ymax=dst_meta.ymax,
         dx=dst_meta.dx,
@@ -709,4 +755,5 @@ def resample_to_geotiff(
         crs=dst_meta.crs or "EPSG:4326",
         nodata=nodata,
         compression=compression,
+        rows_per_strip=rows_per_strip,
     )

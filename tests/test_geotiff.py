@@ -549,6 +549,53 @@ def test_resample_to_geotiff(spark, tmp_path):
     back = _collect_array(read_geotiff(spark, out_p))
     assert np.nansum(back) == pytest.approx(arr.sum())
     assert back[0, 0] == pytest.approx(arr[0:2, 0:2].sum())
+    # byte-identity: the strip-streamed writer must produce EXACTLY the
+    # file the dense-array writer would (same strips, same layout)
+    dense = np.full((4, 4), np.nan)
+    for r in facts.collect():
+        dense[int(r["dst_row"]), int(r["dst_col"])] = r["value"]
+    ref_p = str(tmp_path / "dense.tif")
+    write_geotiff(ref_p, dense, xmin=0.0, ymax=8.0, dx=2.0, dy=2.0,
+                  crs="EPSG:4326")
+    assert open(out_p, "rb").read() == open(ref_p, "rb").read()
+
+
+def test_resample_to_geotiff_multi_strip(spark, tmp_path):
+    """A destination spanning several strips (rows_per_strip=64) streams
+    through toLocalIterator: strips with no facts stay at fill, values land
+    on the right rows, and the dense-writer byte-identity holds."""
+    import pandas as pd
+
+    from exactextractr_spark.sources.geotiff import (
+        read_geotiff,
+        resample_to_geotiff,
+        write_geotiff,
+    )
+    from exactextractr_spark.sources.tiles import RasterMeta
+
+    H, W = 200, 30  # 4 strips at 64 rows/strip, last partial
+    rng = np.random.default_rng(11)
+    rows = rng.choice(H * W, size=500, replace=False)
+    pdf = pd.DataFrame(
+        {
+            "dst_row": (rows // W).astype("int32"),
+            "dst_col": (rows % W).astype("int32"),
+            "value": rng.uniform(0, 50, 500),
+        }
+    )
+    facts = spark.createDataFrame(pdf)
+    dst_meta = RasterMeta("d", xmin=0, ymax=H, dx=1, dy=1, width=W, height=H,
+                          tile_w=W, tile_h=H, crs="EPSG:4326")
+    out_p = str(tmp_path / "big.tif")
+    resample_to_geotiff(facts, dst_meta, out_p)
+    dense = np.full((H, W), np.nan)
+    dense[pdf["dst_row"], pdf["dst_col"]] = pdf["value"]
+    ref_p = str(tmp_path / "big_dense.tif")
+    write_geotiff(ref_p, dense, xmin=0.0, ymax=float(H), dx=1.0, dy=1.0,
+                  crs="EPSG:4326")
+    assert open(out_p, "rb").read() == open(ref_p, "rb").read()
+    back = _collect_array(read_geotiff(spark, out_p))
+    np.testing.assert_allclose(back, dense, equal_nan=True)
 
 
 def test_cog_overviews_roundtrip(spark, tmp_path):

@@ -239,11 +239,12 @@ def test_stack_single_pass_equivalence(spark):
     assert fast is not None  # preconditions hold -> fast path taken
     got = {r["feature_id"]: r.asDict() for r in fast.collect()}
 
-    # force the per-layer loop by separate raw tables
+    # force the per-layer loop explicitly (the oracle)
     ra2 = Raster.from_array(spark, arr_a, meta_a)
     rb2 = Raster.from_array(spark, arr_b, meta_b)
     want = {r["feature_id"]: r.asDict() for r in
-            exact_extract_stack([ra2, rb2], feats, stats).collect()}
+            exact_extract_stack([ra2, rb2], feats, stats,
+                                single_pass=False).collect()}
     assert set(got) == set(want) == {1, 2}
     for fid in want:
         assert set(got[fid]) == set(want[fid]), (set(got[fid]), set(want[fid]))
@@ -290,7 +291,8 @@ def test_stack_single_pass_freq_equivalence(spark):
     ra2 = Raster.from_array(spark, arr_a, meta_a)
     rb2 = Raster.from_array(spark, arr_b, meta_b)
     want = {r["feature_id"]: r.asDict() for r in
-            exact_extract_stack([ra2, rb2], feats, stats).collect()}
+            exact_extract_stack([ra2, rb2], feats, stats,
+                                single_pass=False).collect()}
     assert set(got) == set(want) == {1, 2}
     for fid in want:
         assert set(got[fid]) == set(want[fid]), (set(got[fid]), set(want[fid]))
@@ -300,6 +302,54 @@ def test_stack_single_pass_freq_equivalence(spark):
                 assert gv is None or (isinstance(gv, float) and np.isnan(gv)), (fid, c, gv, wv)
             else:
                 assert gv == pytest.approx(wv, rel=1e-12), (fid, c, gv, wv)
+
+
+def test_stack_union_single_pass_equivalence(spark):
+    """Layers in SEPARATE tile tables on one grid: the unioned single-scan
+    fast path must be taken and equal the forced per-layer loop
+    bit-for-bit (incl. freq stats)."""
+    from exactextractr_spark.operators import stack as stack_mod
+
+    arr_a = np.arange(1, 37, dtype=np.float64).reshape(6, 6)
+    arr_b = ((np.arange(36, dtype=np.float64) % 4) + 2).reshape(6, 6)
+    meta_a = RasterMeta("a", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    meta_b = RasterMeta("b", xmin=0, ymax=6, dx=1, dy=1, width=6, height=6,
+                        tile_w=3, tile_h=3)
+    ra = Raster.from_array(spark, arr_a, meta_a)
+    rb = Raster.from_array(spark, arr_b, meta_b)
+    assert ra._raw is not rb._raw  # genuinely separate tables
+    feats = features_from_wkt(
+        spark, ["POLYGON ((0.5 0.5, 4.5 0.5, 4.5 4.5, 0.5 4.5, 0.5 0.5))",
+                "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"]
+    )
+    for stats in (["mean", "sum", "count"], ["mean", "mode", "variety"]):
+        fast = stack_mod._stack_single_pass(
+            [ra, rb], feats, stats, weights=None, full_colnames=False,
+            colname_fun=None,
+        )
+        assert fast is not None  # the union path engaged
+        got = {r["feature_id"]: r.asDict() for r in fast.collect()}
+        want = {r["feature_id"]: r.asDict() for r in
+                exact_extract_stack([ra, rb], feats, stats,
+                                    single_pass=False).collect()}
+        assert set(got) == set(want) == {1, 2}
+        for fid in want:
+            assert set(got[fid]) == set(want[fid])
+            for c in want[fid]:
+                gv, wv = got[fid][c], want[fid][c]
+                if wv is None or (isinstance(wv, float) and np.isnan(wv)):
+                    assert gv is None or (
+                        isinstance(gv, float) and np.isnan(gv)
+                    ), (fid, c, gv, wv)
+                else:
+                    assert gv == pytest.approx(wv, rel=1e-12), (fid, c, gv, wv)
+    # duplicated layer names across separate tables must fall back
+    rb_dup = Raster.from_array(spark, arr_b, meta_a)
+    assert stack_mod._stack_single_pass(
+        [ra, rb_dup], feats, ["mean"], weights=None, full_colnames=False,
+        colname_fun=None,
+    ) is None
 
 
 def test_nonpolygonal_feature_rejected_on_areal_path(spark):

@@ -79,6 +79,9 @@ class TiffInfo:
     crs: str
     nodata: float | None
     big_endian: bool
+    planar: int = 1  # 1 chunky, 2 separate planes
+    photometric: int = 1  # 1 gray, 2 RGB, 3 palette, 6 YCbCr (JPEG)
+    jpeg_tables: "bytes | None" = None  # tag 347 (abbreviated JPEG streams)
 
 
 def _read_ifd(f, index: int = 0) -> dict:
@@ -185,8 +188,20 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
         offsets, counts = t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]
         chunk_w = t[_T_WIDTH][0]
         chunk_h = t.get(_T_ROWS_PER_STRIP, (t[_T_HEIGHT][0],))[0]
-    if t.get(_T_PLANAR, (1,))[0] != 1:
-        raise ValueError("planar (PlanarConfiguration=2) TIFFs not supported")
+    planar = t.get(_T_PLANAR, (1,))[0]
+    if planar not in (1, 2):
+        raise ValueError(f"invalid PlanarConfiguration {planar}")
+    photometric = t.get(262, (1,))[0]
+    compression_ = t.get(_T_COMPRESSION, (1,))[0]
+    if photometric == 6 and compression_ != 7:
+        raise ValueError(
+            "YCbCr photometric is only supported inside JPEG-compressed "
+            "TIFFs (the JPEG decoder performs the color transform)"
+        )
+    jpeg_tables = None
+    if 347 in t:
+        jt = t[347]
+        jpeg_tables = bytes(jt) if isinstance(jt, (bytes, bytearray)) else bytes(jt)
     scale = t.get(_T_PIXEL_SCALE)
     tie = t.get(_T_TIEPOINT)
     if scale is None or tie is None:
@@ -231,6 +246,9 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
         crs=_epsg_from_geokeys(t.get(_T_GEO_KEYS, ())),
         nodata=nodata,
         big_endian=(bo == ">"),
+        planar=planar,
+        photometric=photometric,
+        jpeg_tables=jpeg_tables,
     )
 
 
@@ -327,6 +345,24 @@ def _decode_chunk(
     raw: bytes, info_dict: dict, nrows: int, ncols: int
 ) -> np.ndarray:
     """bytes -> float64 (nrows, ncols) for the selected band, nodata→NaN."""
+    if info_dict["compression"] == 7:
+        # JPEG-in-TIFF (new-style, tag 259=7): each chunk is a JPEG stream,
+        # abbreviated when a JPEGTables tag supplies the shared DQT/DHT —
+        # splice the tables between the chunk's SOI and its first marker.
+        from ..core.jpeg import decode_jpeg
+
+        tables = info_dict.get("jpeg_tables")
+        data = raw
+        if tables and len(tables) > 4 and raw[:2] == b"\xff\xd8":
+            data = raw[:2] + tables[2:-2] + raw[2:]
+        px = decode_jpeg(data)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        band = px[:nrows, :ncols, min(info_dict["band"], px.shape[2] - 1)]
+        nodata = info_dict["nodata"]
+        if nodata is not None and not math.isnan(nodata):
+            band = np.where(band == nodata, np.nan, band)
+        return band
     data = _decompress(raw, info_dict["compression"])
     dt = _np_dtype(
         info_dict["bps"], info_dict["sample_format"], info_dict["big_endian"]
@@ -426,18 +462,26 @@ def read_geotiff(
         nodata=info.nodata,
     )
 
-    # chunk descriptors: per output tile, the TIFF chunk indices it covers
+    # chunk descriptors: per output tile, the TIFF chunk indices it covers.
+    # PlanarConfiguration=2 stores each sample plane's chunks contiguously
+    # (chunk k of plane s lives at index s*chunks_per_plane + k, TIFF 6.0
+    # §"PlanarConfiguration") — selecting a band is pure index arithmetic,
+    # and executors range-read ONLY the requested plane's bytes.
+    chunks_per_plane = (
+        len(info.offsets) // info.spp if info.planar == 2 else len(info.offsets)
+    )
+    plane_base = band * chunks_per_plane if info.planar == 2 else 0
     recs = []
     for tr in range(meta.n_tile_rows):
         for tc in range(meta.n_tile_cols):
             if info.tiled:
-                idx = [tr * n_cx + tc]
+                idx = [plane_base + tr * n_cx + tc]
             else:
                 s0 = tr * strips_per_tile
                 idx = [
-                    s
+                    plane_base + s
                     for s in range(s0, s0 + strips_per_tile)
-                    if s < len(info.offsets)
+                    if s < chunks_per_plane
                 ]
             recs.append(
                 (
@@ -464,14 +508,17 @@ def read_geotiff(
         "compression": info.compression,
         "bps": info.bps,
         "sample_format": info.sample_format,
-        "spp": info.spp,
+        # planar chunks carry ONE sample each; band selection happened in
+        # the chunk-index arithmetic above
+        "spp": 1 if info.planar == 2 else info.spp,
         "predictor": info.predictor,
         "big_endian": info.big_endian,
         "chunk_h": info.chunk_h,
         "chunk_w": info.chunk_w,
         "tiled": info.tiled,
         "nodata": info.nodata,
-        "band": band,
+        "band": 0 if info.planar == 2 else band,
+        "jpeg_tables": info.jpeg_tables,
     }
     strip_h = info.chunk_h
 

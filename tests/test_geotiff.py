@@ -91,12 +91,20 @@ def _write_tiff(
     ymax: float = 20.0,
     scale: float = 0.5,
     epsg: int = 4326,
+    planar: int = 1,
 ):
     """Strip/tile single-band float64->float32 or int writer, classic or
-    BigTIFF, little-endian."""
+    BigTIFF, little-endian. A 3-D (bands, h, w) array with ``planar=2``
+    writes PlanarConfiguration=2: all of plane 0's strips, then plane 1's
+    (TIFF 6.0 §PlanarConfiguration)."""
     if arr.dtype == np.float64:
         arr = arr.astype(np.float32)
-    h, w = arr.shape
+    nbands = 1
+    if arr.ndim == 3:
+        assert planar == 2 and not tiled
+        nbands, h, w = arr.shape
+    else:
+        h, w = arr.shape
     if arr.dtype == np.float32:
         bps, fmt = 32, 3
     elif arr.dtype == np.uint8:
@@ -126,6 +134,10 @@ def _write_tiff(
                 sub = arr[r0 : r0 + th, c0 : c0 + tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 chunks.append(compress(block.tobytes()))
+    elif planar == 2:
+        for b in range(nbands):  # all of plane b's strips, then plane b+1
+            for r0 in range(0, h, rows_per_strip):
+                chunks.append(compress(arr[b, r0 : r0 + rows_per_strip].tobytes()))
     else:
         for r0 in range(0, h, rows_per_strip):
             chunks.append(compress(arr[r0 : r0 + rows_per_strip].tobytes()))
@@ -147,7 +159,9 @@ def _write_tiff(
         add(323, 3, [tile])
     else:
         add(278, 3, [rows_per_strip])
-    add(277, 3, [1])
+    add(277, 3, [nbands])
+    if planar == 2:
+        add(284, 3, [2])
     add(339, 3, [fmt])
     add(33550, 12, [scale, scale, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
@@ -728,3 +742,134 @@ def test_cli_gpkg_sink(spark, tmp_path):
     row = attrs.collect()[0]
     assert row["m"] == pytest.approx(5.0)
     assert row["s"] == pytest.approx(20.0)
+
+
+def test_planar_configuration_band_select(spark, tmp_path):
+    """PlanarConfiguration=2: each band's strips are contiguous; selecting
+    a band range-reads ONLY that plane's chunks and decodes exactly."""
+    from exactextractr_spark.sources.geotiff import read_geotiff, read_tiff_info
+
+    rng = np.random.default_rng(21)
+    planes = rng.integers(0, 250, (3, 23, 17)).astype(np.uint8)
+    p = str(tmp_path / "planar.tif")
+    _write_tiff(p, planes, planar=2, rows_per_strip=5)
+    info = read_tiff_info(p)
+    assert info.planar == 2 and info.spp == 3
+    assert len(info.offsets) == 3 * 5  # ceil(23/5)=5 strips per plane
+    for b in range(3):
+        got = _collect_array(read_geotiff(spark, p, band=b))
+        np.testing.assert_array_equal(got, planes[b].astype(np.float64))
+
+
+def test_jpeg_in_tiff_external_fixtures(spark):
+    """Compression 7 (JPEG-in-TIFF, JDK-written fixtures): grayscale and
+    YCbCr multi-strip streams decode through core/jpeg.py with >=50 dB
+    PSNR against the original samples."""
+    from exactextractr_spark.sources.geotiff import read_geotiff, read_tiff_info
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def psnr(a, b):
+        mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    p = os.path.join(fix, "jdk_tiff_jpeggray.tif")
+    assert read_tiff_info(p).compression == 7
+    got = _collect_array(read_geotiff(spark, p))
+    orig = np.frombuffer(
+        open(os.path.join(fix, "jdk_tiff_jpeggray.raw"), "rb").read(),
+        np.uint8,
+    ).reshape(50, 70)
+    assert psnr(got, orig) >= 50.0
+
+    p = os.path.join(fix, "jdk_tiff_jpegrgb.tif")
+    info = read_tiff_info(p)
+    assert info.compression == 7 and info.photometric == 6 and info.spp == 3
+    assert len(info.offsets) >= 2  # multi-strip: one JPEG stream per strip
+    orig = np.frombuffer(
+        open(os.path.join(fix, "jdk_tiff_jpegrgb.raw"), "rb").read(),
+        np.uint8,
+    ).reshape(48, 72, 3)
+    for b in range(3):
+        got = _collect_array(read_geotiff(spark, p, band=b))
+        assert psnr(got, orig[..., b]) >= 45.0, b
+
+
+def test_jpeg_tables_splice():
+    """Abbreviated JPEG-in-TIFF streams (JPEGTables tag 347): stripping the
+    DQT/DHT segments into a tables stream and splicing them back must
+    decode identically to the original full stream."""
+    from exactextractr_spark.sources.geotiff import _decode_chunk
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    full = open(os.path.join(fix, "jdk_gray.jpg"), "rb").read()
+    # split: move every DQT (FFDB) / DHT (FFC4) segment into the tables
+    segs, rest = [], bytearray(full[:2])
+    i = 2
+    while i + 4 <= len(full):
+        if full[i] != 0xFF:
+            rest += full[i:]
+            break
+        marker = full[i + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest += full[i:]
+            break
+        ln = int.from_bytes(full[i + 2 : i + 4], "big")
+        seg = full[i : i + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            segs.append(seg)
+        else:
+            rest += seg
+        i += 2 + ln
+    tables = b"\xff\xd8" + b"".join(segs) + b"\xff\xd9"
+    idict = {
+        "compression": 7,
+        "jpeg_tables": tables,
+        "band": 0,
+        "nodata": None,
+    }
+    got = _decode_chunk(bytes(rest), idict, 53, 67)
+    idict_full = {
+        "compression": 7,
+        "jpeg_tables": None,
+        "band": 0,
+        "nodata": None,
+    }
+    want = _decode_chunk(full, idict_full, 53, 67)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_palette_tiff_returns_indices(spark):
+    """Photometric=3 (palette): the band carries the palette INDICES
+    exactly (GDAL parity — the color table is metadata, the band is the
+    index raster). JDK-written fixture."""
+    from exactextractr_spark.sources.geotiff import read_geotiff, read_tiff_info
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    p = os.path.join(fix, "jdk_tiff_palette.tif")
+    info = read_tiff_info(p)
+    assert info.photometric == 3
+    got = _collect_array(read_geotiff(spark, p))
+    orig = np.frombuffer(
+        open(os.path.join(fix, "jdk_tiff_palette.raw"), "rb").read(),
+        np.uint8,
+    ).reshape(30, 40)
+    np.testing.assert_array_equal(got, orig.astype(np.float64))
+
+
+def test_ycbcr_without_jpeg_rejected(tmp_path):
+    """Photometric=6 outside JPEG compression must refuse loudly (the
+    subsampled-YCbCr layout needs the JPEG decoder's color machinery)."""
+    from exactextractr_spark.sources.geotiff import read_tiff_info
+
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    p = str(tmp_path / "y.tif")
+    _write_tiff(p, arr)
+    # patch the photometric tag (262) value to 6 in place
+    data = bytearray(open(p, "rb").read())
+    i = data.find(struct.pack("<HH", 262, 3))
+    assert i > 0
+    data[i + 8 : i + 10] = struct.pack("<H", 6)
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="YCbCr"):
+        read_tiff_info(p)

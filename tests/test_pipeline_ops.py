@@ -296,11 +296,18 @@ def test_image_features(spark):
 
 
 def test_image_features_unknown_format(spark):
-    rows = [("x", bytearray(b"notanimage"), 4, 4, "jpeg")]
-    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
     from exactextractr_spark.operators.multimodal import image_features
 
-    with pytest.raises(Exception, match="decoder for 'jpeg'"):
+    # webp remains a declared env-limited stub
+    rows = [("x", bytearray(b"notanimage"), 4, 4, "webp")]
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    with pytest.raises(Exception, match="decoder for 'webp'"):
+        image_features(df).collect()
+    # jpeg now decodes for real — malformed bytes fail as a bad JPEG, not
+    # as a missing decoder
+    rows = [("x", bytearray(b"notanimage"), 4, 4, "jpeg")]
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    with pytest.raises(Exception, match="not a JPEG payload"):
         image_features(df).collect()
 
 

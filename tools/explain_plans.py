@@ -70,7 +70,7 @@ def main():
         "embedding_dedup": (
             "Embedding-cosine near-dup dedup (greedy-by-id)",
             "Exact mode: id-ordered nested-loop pair scoring (JVM fold "
-            "cosine), one persist of the thresholded pairs feeding the "
+            "cosine), one localCheckpoint of the thresholded pairs (blocks GC-released, no CacheManager leak) feeding the "
             "anti-join drop set and the neighbor counts. The LSH mode "
             "swaps the pair source for a (band, bucket) equi-join "
             "(similarity.band_key_udf) — never all-pairs at scale.",
@@ -101,7 +101,7 @@ def main():
         "minhash_dedup": (
             "MinHash + LSH near-dup dedup",
             "Signature kernel is one mapInPandas (vectorized SipHash + "
-            "multiply-shift, persisted: referenced by both band sides and "
+            "multiply-shift, localCheckpointed: referenced by both band sides and "
             "the re-attach); the band-bucket self-join shuffles only "
             "(id, band, bucket) — signature arrays are projected off "
             "before the exchange and re-attached after candidate dedup.",
@@ -135,6 +135,50 @@ def main():
     for name, (title, commentary) in picks.items():
         df = qs[name](spark, SF_DIR)
         sections.append(f"## {title} (`{name}`)\n\n{commentary}\n\n```\n{plan_of(df)}```\n")
+
+    # zonal_weighted both sides of the weight-broadcast size gate: below it
+    # the slim-key weight join is hinted broadcast; above it the hint is
+    # DROPPED and the join shuffles (no BroadcastExchange of wtile payloads
+    # — the round-3 scale-killer).
+    import exactextractr_spark.operators.zonal as zmod
+
+    df = qs["zonal_weighted"](spark, SF_DIR)
+    sections.append(
+        "## Weighted zonal, weight raster BELOW the broadcast gate "
+        "(`zonal_weighted`)\n\n"
+        "Weight tiles broadcast (hinted) onto the slim candidate keys; "
+        "grouping runs on a key projection so pixel payloads never enter "
+        "the shuffle.\n\n"
+        f"```\n{plan_of(df)}```\n"
+    )
+    old_gate = zmod.WEIGHT_BROADCAST_MAX_BYTES
+    zmod.WEIGHT_BROADCAST_MAX_BYTES = 0
+    try:
+        old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = qs["zonal_weighted"](spark, SF_DIR)
+        sections.append(
+            "## Weighted zonal, weight raster ABOVE the broadcast gate\n\n"
+            "Same query with WEIGHT_BROADCAST_MAX_BYTES forced to 0 (and "
+            "AQE auto-broadcast off so the strategy choice is visible): "
+            "the weight attachment becomes a SortMergeJoin on (w_tr, "
+            "w_tc) — a 100x-larger weight raster shuffles instead of "
+            "OOM-ing the executors with a payload broadcast.\n\n"
+            f"```\n{plan_of(df)}```\n"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+    finally:
+        zmod.WEIGHT_BROADCAST_MAX_BYTES = old_gate
+
+    df = qs["zonal_stack"](spark, SF_DIR)
+    sections.append(
+        "## Multi-layer stack, union single-scan path (`zonal_stack`)\n\n"
+        "Layers from SEPARATE tile tables on one grid union into ONE "
+        "kernel pass (rows tagged by layer) and ONE aggregate + pivot — "
+        "the plan shows a Union feeding a single MapInPandas, not two "
+        "kernel/aggregate chains joined at the end.\n\n"
+        f"```\n{plan_of(df)}```\n"
+    )
 
     out = (
         "# Physical plans of the headline queries\n\n"

@@ -93,16 +93,32 @@ def main():
     n_tiles = (n // 256) ** 2
     tput = {lv: round(n_tiles / best[lv], 2) for lv in LEVELS}
 
-    eff_28 = (best[2] / best[8]) / 4
-    eff_832 = (best[8] / best[32]) / 4
+    # Efficiency is a RATIO — estimate it within each interleaved round
+    # (that is what the interleaving is for: both levels of a round share
+    # one host window) and take the median across rounds. Mixing the best
+    # local[2] of one window with the best local[8] of another biases the
+    # ratio by whatever drift separated those windows.
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+
+    per_round_28 = [
+        (times[2][r] / times[8][r]) / 4 for r in range(rounds)
+    ]
+    per_round_832 = [
+        (times[8][r] / times[32][r]) / 4 for r in range(rounds)
+    ]
+    eff_28 = _median(per_round_28)
+    eff_832 = _median(per_round_832)
     # hardware-normalized efficiency: job speedup over the speedup the
     # HARDWARE actually delivered during this measurement window (spin
     # calibration above). When the host honors the full 4x (hw_28 >= 4)
     # this equals the raw number; when noisy neighbors shrink the
     # available speedup below 4x, raw efficiency is capped at hw_28/4 for
     # ANY job, so the normalized figure is the one that measures the CODE.
-    eff_28_hw = (best[2] / best[8]) / min(4.0, hw_28)
-    eff_832_hw = (best[8] / best[32]) / min(4.0, hw_832)
+    eff_28_hw = eff_28 * 4.0 / min(4.0, hw_28)
+    eff_832_hw = eff_832 * 4.0 / min(4.0, hw_832)
 
     result = {
         "workload": {
@@ -111,11 +127,15 @@ def main():
             "features": features,
             "stats": ["count", "sum", "mean", "min", "max", "stdev"],
             "rounds": rounds,
-            "aggregation": "min over interleaved rounds (noisy shared host)",
+            "aggregation": "throughput: min over interleaved rounds; "
+            "efficiency: median of PER-ROUND ratios (levels within a round "
+            "share one host window — cross-window ratio mixing is biased)",
         },
         "hardware_calibration_Mops": cal,
         "hardware_speedup": {"2_to_8": round(hw_28, 3), "8_to_32": round(hw_832, 3)},
         "times_sec": {str(lv): [round(t, 2) for t in ts] for lv, ts in times.items()},
+        "per_round_efficiency_2_to_8": [round(e, 3) for e in per_round_28],
+        "per_round_efficiency_8_to_32": [round(e, 3) for e in per_round_832],
         "best_sec": {str(lv): round(best[lv], 3) for lv in LEVELS},
         "tiles_per_sec": {str(lv): tput[lv] for lv in LEVELS},
         "scaling_efficiency_2_to_8": round(eff_28, 3),

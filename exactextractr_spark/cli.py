@@ -42,7 +42,7 @@ def _raster_meta_from_caption(caption: str, tile_w: int, tile_h: int):
 def main(argv=None):
     p = argparse.ArgumentParser("exactextractr-spark")
     p.add_argument("--polys", required=True,
-                   help="parquet with features, or a .gpkg feature table")
+                   help="parquet with features, a .gpkg feature table, or a .shp (+.dbf/.prj) shapefile")
     p.add_argument("--id", default="feature_id")
     p.add_argument("--geom", default="geom")
     p.add_argument("--table", default=None,
@@ -159,6 +159,10 @@ def main(argv=None):
         from .sources.geopackage import read_gpkg
 
         feats = read_gpkg(spark, args.polys, table=args.table)
+    elif args.polys.lower().endswith(".shp"):
+        from .sources.shapefile import read_shapefile
+
+        feats = read_shapefile(spark, args.polys)
     else:
         feats = prepare_features(
             spark.read.parquet(args.polys), args.id, args.geom

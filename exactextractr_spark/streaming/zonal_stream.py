@@ -10,10 +10,17 @@ merges each micro-batch in O(|features|) state with no re-scan of earlier
 tiles — the streaming answer after N tiles is bit-identical to the batch
 answer over those N tiles (test-asserted).
 
-Only algebraic stats stream (count/sum/mean/min/max/variance/stdev/CV and
-weighted variants): frequency stats (mode/median/quantile/frac) need the
-full value distribution, which is unbounded state — compute those in batch
-over the ingested store instead.
+Algebraic stats (count/sum/mean/min/max/variance/stdev/CV and weighted
+variants) stream as O(|features|) moment state. Frequency stats
+(mode/median/quantile/frac/variety/minority) stream too, as a
+``groupBy(feature_id, value)`` aggregate in complete mode: state is
+bounded by |features| x |distinct values| — the CATEGORICAL-raster
+assumption the batch ``frac`` path already documents (a continuous-valued
+raster would grow state per distinct float; ``max_state_rows`` guards
+that loudly). Each trigger's snapshot runs the SAME ``_freq_stats``
+machinery as batch over the complete freq table, so the streaming answer
+after N tiles is bit-identical to the batch answer over those N tiles
+(test-asserted for both stat families).
 
 Weighted stats stream too: the weight raster is STATIC, so its tiles are
 pre-grouped per value-tile key on the batch side
@@ -43,6 +50,8 @@ def stream_zonal_stats(
     query_name: str = "zonal_stream",
     max_files_per_trigger: int = 16,
     available_now: bool = True,
+    quantiles: "list[float] | None" = None,
+    max_state_rows: int = 1_000_000,
 ):
     """Start the streaming zonal query; returns the StreamingQuery.
 
@@ -61,12 +70,7 @@ def stream_zonal_stats(
 
     if isinstance(stats, str):
         stats = [stats]
-    plan = StatsPlan(stats, [])
-    if plan.freq:
-        raise ValueError(
-            "streaming zonal supports algebraic stats only; frequency stats "
-            f"({sorted(plan.freq)}) need unbounded state — run them in batch"
-        )
+    plan = StatsPlan(stats, quantiles or [])
     if plan.needs_weights and weights is None:
         raise ValueError(f"stats {sorted(set(stats))} require weights")
     if weights is not None:
@@ -108,12 +112,95 @@ def stream_zonal_stats(
         if _weight_payload_bytes(weights.meta) <= WEIGHT_BROADCAST_MAX_BYTES:
             wlists = F.broadcast(wlists)
         tiles = tiles.join(wlists, on=["tile_row", "tile_col"], how="left")
+    fin = plan.finalize_columns()
+    if plan.freq:
+        # freq path: stateful groupBy(feature_id, v) in complete mode —
+        # state bounded by |features| x |distinct values| (categorical
+        # rasters; max_state_rows guards the continuous case loudly).
+        # Every trigger's snapshot derives ALL stats (algebraic included)
+        # from the complete freq table with the SAME machinery as batch,
+        # so parity is by construction.
+        from pyspark.sql import functions as F
+
+        from ..operators.zonal import _freq_stats
+
+        partials = coverage_facts(
+            tiles, emit="freq", feats_bc=feats_bc, values_meta=meta,
+            weighted=weights is not None,
+        )
+        freq = partials.groupBy("feature_id", "v").agg(
+            F.sum("sum_c").alias("sum_c"), F.sum("sum_cw").alias("sum_cw")
+        )
+        feat_ids = [r["feature_id"] for r in rows]
+
+        def _freq_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+            import pandas as pd
+
+            bspark = batch_df.sparkSession
+            fdf = batch_df.localCheckpoint(eager=True)
+            n_state = fdf.count()
+            if n_state > max_state_rows:
+                raise ValueError(
+                    f"streaming freq state has {n_state} (feature, value) "
+                    f"rows > max_state_rows={max_state_rows}: the value "
+                    "raster is not categorical enough to stream frequency "
+                    "stats — run them in batch, or raise max_state_rows"
+                )
+            result = None
+            if plan.algebraic:
+                agg_df = fdf.groupBy("feature_id").agg(
+                    *plan.algebraic_aggs_from_freq()
+                )
+                result = agg_df.select(
+                    "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
+                )
+            fr = _freq_stats(plan, fdf)
+            result = (
+                fr if result is None
+                else result.join(fr, on="feature_id", how="full")
+            )
+            base = bspark.createDataFrame(
+                pd.DataFrame(
+                    {"feature_id": pd.Series(feat_ids, dtype="int64")}
+                )
+            )
+            result = base.join(
+                F.broadcast(result), on="feature_id", how="left"
+            )
+            fill = {
+                s: (0.0 if s != "variety" else 0)
+                for s in ("count", "sum", "weighted_count", "weighted_sum",
+                          "variety")
+                if s in result.columns
+            }
+            if fill:
+                result = result.fillna(fill)
+            result = result.orderBy("feature_id")
+            if sink_dir is not None:
+                result.write.mode("overwrite").parquet(sink_dir)
+            else:
+                # register the snapshot on the CALLER's session (row-based
+                # createDataFrame preserves nulls exactly; the view is
+                # per-feature tiny)
+                snap = spark.createDataFrame(
+                    result.collect(), schema=result.schema
+                )
+                snap.createOrReplaceTempView(query_name)
+
+        writer = (
+            freq.writeStream.option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_freq_snapshot)
+            .outputMode("complete")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     moments = coverage_facts(
         tiles, emit="moments", feats_bc=feats_bc, values_meta=meta,
         weighted=weights is not None,
     )
     agg = moments.groupBy("feature_id").agg(*plan.algebraic_aggs_from_moments())
-    fin = plan.finalize_columns()
     out = agg.select(
         "feature_id", *[fin[s].alias(s) for s in plan.algebraic]
     )

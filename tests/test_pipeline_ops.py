@@ -411,10 +411,35 @@ def test_streaming_zonal_matches_batch(spark, tmp_path):
         for s in stats:
             assert got[fid][s] == pytest.approx(want[fid][s], rel=1e-12), (fid, s)
 
-    # freq stats must refuse to stream
-    with pytest.raises(ValueError, match="algebraic"):
-        stream_zonal_stats(spark, src, feats, ["median"], meta=meta,
-                           checkpoint_dir=str(tmp_path / "ck2"))
+    # freq stats stream in complete mode (groupBy(feature, value) state,
+    # categorical-cardinality assumption): snapshot == batch bit-for-bit
+    fstats = ["count", "mean", "mode", "median", "variety"]
+    qf = stream_zonal_stats(
+        spark, src, feats, fstats, meta=meta,
+        checkpoint_dir=str(tmp_path / "ck2"), query_name="zs_test_f",
+        max_files_per_trigger=1,
+    )
+    qf.awaitTermination(180)
+    got_f = {r["feature_id"]: r.asDict()
+             for r in spark.table("zs_test_f").collect()}
+    want_f = {r["feature_id"]: r.asDict()
+              for r in exact_extract(Raster.from_tiles(tiles, meta), feats,
+                                     fstats).collect()}
+    assert set(got_f) == set(want_f)
+    for fid in want_f:
+        for s in fstats:
+            assert got_f[fid][s] == pytest.approx(want_f[fid][s], rel=1e-12), (fid, s)
+
+    # a value distribution too wide for the state bound fails LOUDLY
+    from pyspark.sql.streaming import StreamingQueryException
+
+    qbad = stream_zonal_stats(
+        spark, src, feats, ["mode"], meta=meta,
+        checkpoint_dir=str(tmp_path / "ckbad"), query_name="zs_bad",
+        max_files_per_trigger=16, max_state_rows=5,
+    )
+    with pytest.raises(StreamingQueryException, match="max_state_rows"):
+        qbad.awaitTermination(180)
 
     # weighted stats stream: static weight raster attached per micro-batch
     # (coarser 2x2-cell weight grid exercises the coordinate lookup)

@@ -82,6 +82,7 @@ class TiffInfo:
     planar: int = 1  # 1 chunky, 2 separate planes
     photometric: int = 1  # 1 gray, 2 RGB, 3 palette, 6 YCbCr (JPEG)
     jpeg_tables: "bytes | None" = None  # tag 347 (abbreviated JPEG streams)
+    colormap: "tuple | None" = None  # tag 320 (palette, 3 * 2^bps uint16)
 
 
 def _read_ifd(f, index: int = 0) -> dict:
@@ -202,6 +203,7 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
     if 347 in t:
         jt = t[347]
         jpeg_tables = bytes(jt) if isinstance(jt, (bytes, bytearray)) else bytes(jt)
+    colormap = t.get(320)
     scale = t.get(_T_PIXEL_SCALE)
     tie = t.get(_T_TIEPOINT)
     if scale is None or tie is None:
@@ -249,7 +251,24 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
         planar=planar,
         photometric=photometric,
         jpeg_tables=jpeg_tables,
+        colormap=tuple(colormap) if colormap is not None else None,
     )
+
+
+def palette_rgb(info: TiffInfo) -> np.ndarray:
+    """The palette as a (2^bps, 3) uint8 array (R, G, B columns). TIFF
+    stores the ColorMap as three 16-bit planes (all reds, all greens, all
+    blues, values 0..65535); GDAL's convention of dividing by 257 maps
+    them back to 8-bit. Raises for non-palette images."""
+    if info.photometric != 3 or info.colormap is None:
+        raise ValueError("not a palette TIFF (photometric 3 with ColorMap)")
+    n = 1 << info.bps
+    cm = np.asarray(info.colormap, dtype=np.uint32)
+    if len(cm) != 3 * n:
+        raise ValueError(f"ColorMap has {len(cm)} entries, expected {3 * n}")
+    return np.stack(
+        [cm[:n], cm[n : 2 * n], cm[2 * n :]], axis=1
+    ).astype(np.uint32).__floordiv__(257).astype(np.uint8)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -296,6 +315,53 @@ def _lzw_decode(data: bytes) -> bytes:
                 width += 1
             out += entry
             prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first codes, early change: the writer
+    widens at 2^width because its table runs one entry ahead of the
+    decoder's 2^width - 1 threshold; dictionary reset before 4094).
+    Streams verified readable by JDK ImageIO (external decoder test)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    CLEAR, EOI = 256, 257
+    table: "dict[bytes, int]" = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -592,7 +658,7 @@ def write_geotiff(
     overviews: "list[np.ndarray] | None" = None,
 ) -> None:
     """Write a single-band GeoTIFF (little-endian classic TIFF, strip
-    layout, deflate or uncompressed) — the raster-sink analog of the
+    layout, deflate/LZW or uncompressed) — the raster-sink analog of the
     reference CLI's GDAL writer (``gdal_writer.h:25-54``). NaNs are
     written as ``nodata`` when given (and the GDAL nodata tag is set).
     ``overviews`` appends decimated levels as a next-IFD chain (the COG
@@ -604,9 +670,9 @@ def write_geotiff(
     strip sizes before offsets can be laid out)."""
     import zlib
 
-    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}.get(compression)
     if comp_code is None:
-        raise ValueError("compression must be 'none' or 'deflate'")
+        raise ValueError("compression must be 'none', 'deflate' or 'lzw'")
     dy = dx if dy is None else dy
 
     # GeoKeys: geographic vs projected EPSG
@@ -634,7 +700,11 @@ def write_geotiff(
         if s.dtype.byteorder == ">":
             s = s.astype(s.dtype.newbyteorder("<"))
         raw = np.ascontiguousarray(s).tobytes()
-        return zlib.compress(raw) if comp_code == 8 else raw
+        if comp_code == 8:
+            return zlib.compress(raw)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        return raw
 
     def build_section(
         a, base_off: int, is_base: bool

@@ -873,3 +873,59 @@ def test_ycbcr_without_jpeg_rejected(tmp_path):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="YCbCr"):
         read_tiff_info(p)
+
+
+def test_write_geotiff_lzw_jdk_readable(spark, tmp_path):
+    """write_geotiff(compression='lzw'): our reader round-trips it AND an
+    external decoder (JDK ImageIO) reads it byte-exactly — guards the
+    encoder's early-change threshold against self-consistent-but-wrong
+    pairs. Skipped without a JDK."""
+    import shutil
+    import struct as _s
+    import subprocess
+
+    from exactextractr_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(31)
+    arr = np.round(rng.uniform(0, 100, (90, 75)), 2).astype(np.float32)
+    p = str(tmp_path / "lzw_out.tif")
+    write_geotiff(p, arr, xmin=0.0, ymax=90.0, dx=1.0, compression="lzw")
+    got = _collect_array(read_geotiff(spark, p))
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("no JDK available")
+    src = tmp_path / "ReadTiff2.java"
+    src.write_text(
+        "import javax.imageio.*;import java.awt.image.*;import java.io.*;"
+        "public class ReadTiff2{public static void main(String[]a)throws Exception{"
+        "BufferedImage i=ImageIO.read(new File(a[0]));Raster r=i.getRaster();"
+        "int w=r.getWidth(),h=r.getHeight();DataOutputStream o=new DataOutputStream("
+        "new BufferedOutputStream(new FileOutputStream(a[1])));"
+        "o.writeInt(w);o.writeInt(h);for(int y=0;y<h;y++)for(int x=0;x<w;x++)"
+        "o.writeDouble(r.getSampleDouble(x,y,0));o.close();}}"
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path)
+    out = str(tmp_path / "px.raw")
+    subprocess.run(
+        ["java", "-cp", str(tmp_path), "ReadTiff2", p, out], check=True
+    )
+    raw = open(out, "rb").read()
+    w, h = _s.unpack(">ii", raw[:8])
+    assert (w, h) == (75, 90)
+    jdk = np.frombuffer(raw[8:], dtype=">f8").reshape(h, w)
+    np.testing.assert_array_equal(jdk, arr.astype(np.float64))
+
+
+def test_palette_rgb_helper():
+    """ColorMap tag -> (2^bps, 3) uint8 palette, matching the colors the
+    JDK fixture was generated with (WriteTiffVariants.java: r=i*16,
+    g=255-i*16, b=i*8+64 for the first 16 slots)."""
+    from exactextractr_spark.sources.geotiff import palette_rgb, read_tiff_info
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    info = read_tiff_info(os.path.join(fix, "jdk_tiff_palette.tif"))
+    pal = palette_rgb(info)
+    assert pal.shape == (256, 3) and pal.dtype == np.uint8
+    for i in range(16):
+        assert tuple(pal[i]) == ((i * 16) & 255, (255 - i * 16) & 255,
+                                 (i * 8 + 64) & 255), i

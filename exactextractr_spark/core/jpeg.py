@@ -1,12 +1,16 @@
-"""Baseline-sequential JPEG decoder in pure numpy (no codec library).
+"""JPEG decoder in pure numpy (no codec library): baseline AND progressive.
 
-Implements the ITU-T T.81 / JFIF baseline process: marker parse, DQT/DHT
+Implements the ITU-T T.81 / JFIF baseline process — marker parse, DQT/DHT
 tables, Huffman entropy decode (flat 16-bit lookup table per Huffman
 table), dequantize, de-zigzag, batched 8x8 inverse DCT (one einsum over
-all blocks of a component), chroma upsampling by replication, and the
-JFIF full-range YCbCr->RGB transform. Restart intervals (DRI/RSTn) are
-honored. Progressive (SOF2) and arithmetic-coded streams are rejected
-with a clear error.
+all blocks of a component), triangular chroma upsampling, and the JFIF
+full-range YCbCr->RGB transform — plus the progressive process (SOF2,
+T.81 Annex G): spectral selection and successive approximation scans
+(DC first/refine, AC first with EOB runs, AC refinement with correction
+bits) accumulated in a per-component coefficient store and finished
+through the same IDCT tail. Restart intervals (DRI/RSTn) are honored in
+both modes. Hierarchical/arithmetic streams are rejected with a clear
+error.
 
 Entropy decoding is inherently sequential within one scan — parallelism
 comes from Spark partitioning across images (mapInPandas over the image
@@ -144,7 +148,7 @@ def _upsample_axis(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG. Returns float64 (h, w) for 1-component
+    """Decode a baseline or progressive JPEG. Returns float64 (h, w) for 1-component
     streams or (h, w, 3) RGB for 3-component (JFIF YCbCr) streams, values
     in [0, 255]."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -155,6 +159,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None  # list of (cid, h, v, tq)
     width = height = None
     restart_interval = 0
+    progressive = False
+    scans: list = []
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -195,18 +201,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 lut = _HuffLUT(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = lut
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
-                f"got SOF marker 0x{marker:02X} (progressive/arithmetic)"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                f"are supported; got SOF marker 0x{marker:02X} "
+                "(hierarchical/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
@@ -216,12 +224,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ent_start = i + 2 + seg_len
-            return _decode_scan(
-                data[ent_start:], comps, scan_sel, qt, huff_dc, huff_ac,
-                width, height, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data[ent_start:], comps, scan_sel, qt, huff_dc, huff_ac,
+                    width, height, restart_interval,
+                )
+            segments, consumed = _destuff(data[ent_start:])
+            scans.append(
+                {
+                    "sel": scan_sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "dc": dict(huff_dc),
+                    "ac": dict(huff_ac),
+                    "ri": restart_interval,
+                    "segments": segments,
+                }
             )
+            i = ent_start + consumed
+            continue
         i += 2 + seg_len
+    if progressive and scans:
+        return _decode_progressive(
+            scans, comps, qt, width, height
+        )
     raise ValueError("no SOS marker found (truncated JPEG)")
 
 
@@ -328,3 +358,203 @@ def _decode_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (T.81 Annex G): spectral selection + successive
+# approximation over a persistent per-component coefficient store, then the
+# same dequant/IDCT/upsample tail as baseline. Refinement algorithms follow
+# G.1.2.1 (DC) and G.1.2.3 (AC), matching libjpeg's decode_mcu_AC_refine
+# semantics (a correction bit only sets a magnitude bit that is not yet
+# set). Validated against JDK-ImageIO-encoded progressive fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
+    if comps is None or width is None:
+        raise ValueError("SOS before SOF (malformed JPEG)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) int32, zigzag
+    dims: dict[int, tuple] = {}
+    for cid, h, v, tq in comps:
+        bw, bh = mcus_x * h, mcus_y * v
+        store[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        # non-interleaved scans iterate the ACTUAL block grid (T.81 A.2.2)
+        dims[cid] = (bw, bh, -(-cw // 8), -(-ch // 8))
+
+    for scan in scans:
+        sel = scan["sel"]
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        segments = scan["segments"]
+        ri = scan["ri"]
+        comp_by_cid = {c[0]: c for c in comps}
+        if ss == 0:
+            _prog_dc_scan(
+                scan, comps, store, mcus_x, mcus_y, ah, al, segments, ri
+            )
+        else:
+            if len(sel) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid, _td, ta = sel[0]
+            _prog_ac_scan(
+                store[cid], dims[cid], scan["ac"][ta], ss, se, ah, al,
+                segments, ri,
+            )
+
+    # finish: dequant + de-zigzag + IDCT + assemble/upsample + color
+    planes = []
+    for cid, h, v, tq in comps:
+        bw, bh = mcus_x * h, mcus_y * v
+        blocks = store[cid].reshape(-1, 64).astype(np.float64)
+        deq = np.empty_like(blocks)
+        deq[:, _ZIGZAG] = blocks * qt[tq][None, :]
+        F8 = deq.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _A, F8, _A) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        ry, rx = vmax // v, hmax // h
+        plane = _upsample_axis(plane, ry, axis=0)
+        plane = _upsample_axis(plane, rx, axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0.0, 255.0)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def _prog_dc_scan(scan, comps, store, mcus_x, mcus_y, ah, al, segments, ri):
+    """DC scans are (usually) interleaved over all scan components in MCU
+    order; Ah==0 decodes shifted diffs, Ah>0 appends one bit per block."""
+    sel_by_cid = {cs: (td, ta) for cs, td, ta in scan["sel"]}
+    members = [c for c in comps if c[0] in sel_by_cid]
+    single = len(members) == 1
+    if single:
+        cid, h, v, tq = members[0]
+        # non-interleaved DC scan iterates the component block grid
+        order = [(cid, by, bx)
+                 for by in range(mcus_y * v) for bx in range(mcus_x * h)]
+    else:
+        order = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, h, v, tq in members:
+                    for by in range(v):
+                        for bx in range(h):
+                            order.append((cid, my * v + by, mx * h + bx))
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    preds = {c[0]: 0 for c in members}
+    done_in_seg = 0
+    # restart interval counts MCUs (or blocks when non-interleaved)
+    unit = 1 if single else max(1, len(order) // (mcus_x * mcus_y))
+    for n_idx, (cid, by, bx) in enumerate(order):
+        if ri and n_idx and (n_idx // unit) % ri == 0 and n_idx % unit == 0:
+            if done_in_seg:  # only advance when this segment consumed units
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                preds = {c[0]: 0 for c in members}
+                done_in_seg = 0
+        done_in_seg += 1
+        coef = store[cid][by, bx]
+        if ah == 0:
+            lut = scan["dc"][sel_by_cid[cid][0]]
+            peek = br.peek16()
+            s = int(lut.sym[peek])
+            br.skip(int(lut.ln[peek]))
+            diff = _extend(br.read(s), s)
+            preds[cid] += diff
+            coef[0] = preds[cid] << al
+        else:
+            if br.read(1):
+                coef[0] = int(coef[0]) | (1 << al)
+
+
+def _prog_ac_scan(store, dims, lut, ss, se, ah, al, segments, ri):
+    """Single-component AC scan over the component's ACTUAL block grid in
+    raster order. Ah==0: first pass with EOB runs; Ah>0: refinement."""
+    bw, bh, abx, aby = dims
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    n_done = 0
+    for by in range(aby):
+        for bx in range(abx):
+            if ri and n_done and n_done % ri == 0:
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                eobrun = 0
+            n_done += 1
+            coef = store[by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    peek = br.peek16()
+                    rs = int(lut.sym[peek])
+                    br.skip(int(lut.ln[peek]))
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1 + br.read(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow (progressive)")
+                    coef[k] = _extend(br.read(s), s) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        peek = br.peek16()
+                        rs = int(lut.sym[peek])
+                        br.skip(int(lut.ln[peek]))
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + br.read(r)
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:
+                            newval = p1 if br.read(1) else m1
+                        # advance over r zero-history coeffs, refining any
+                        # nonzero coefficient passed on the way
+                        while k <= se:
+                            c = int(coef[k])
+                            if c != 0:
+                                if br.read(1) and (c & p1) == 0:
+                                    coef[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(coef[k])
+                        if c != 0 and br.read(1) and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1

@@ -63,6 +63,8 @@ public class WriteJpeg {
         JPEGImageWriteParam p = (JPEGImageWriteParam) wr.getDefaultWriteParam();
         p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
         p.setCompressionQuality(q);
+        if (args.length > 7 && args[7].equals("progressive"))
+            p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
         IIOMetadata meta = null;
         if (restart > 0) {
             meta = wr.getDefaultImageMetadata(

@@ -67,12 +67,13 @@ def test_restart_intervals():
     assert _psnr(got, _raw("jdk_rgb_rst.dec", 48, 80, 3)) >= 50.0
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_rejected():
+    """Progressive now decodes; lossless/arithmetic SOFs still refuse."""
     data = bytearray(open(os.path.join(FIX, "jdk_gray.jpg"), "rb").read())
     i = data.find(b"\xff\xc0")
     assert i > 0
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(ValueError, match="SOF marker 0xC3"):
         decode_jpeg(bytes(data))
 
 
@@ -108,3 +109,30 @@ def test_image_features_jpeg_e2e(spark):
     assert row["mean_px"] == pytest.approx(float(orig.mean()), abs=1.0)
     assert row["std_px"] == pytest.approx(float(orig.std()), abs=1.0)
     assert row["h"] == 53 and row["w"] == 67
+
+
+def test_progressive_grayscale():
+    """SOF2 progressive (JDK scan script: DC successive approximation +
+    spectral AC bands + refinement scans)."""
+    got = decode_jpeg(
+        open(os.path.join(FIX, "jdk_prog_gray.jpg"), "rb").read()
+    )
+    assert got.shape == (53, 67)
+    assert _psnr(got, _raw("jdk_prog_gray.raw", 53, 67, 1)) >= 40.0
+
+
+def test_progressive_color_parity():
+    data = open(os.path.join(FIX, "jdk_prog_rgb.jpg"), "rb").read()
+    assert b"\xff\xc2" in data  # really SOF2
+    got = decode_jpeg(data)
+    assert got.shape == (64, 96, 3)
+    assert _psnr(got, _raw("jdk_prog_rgb.raw", 64, 96, 3)) >= 40.0
+    assert _psnr(got, _raw("jdk_prog_rgb.dec", 64, 96, 3)) >= 50.0
+
+
+def test_progressive_restart_intervals():
+    got = decode_jpeg(
+        open(os.path.join(FIX, "jdk_prog_rst.jpg"), "rb").read()
+    )
+    assert got.shape == (48, 80, 3)
+    assert _psnr(got, _raw("jdk_prog_rst.dec", 48, 80, 3)) >= 50.0

@@ -39,6 +39,27 @@ def _raster_meta_from_caption(caption: str, tile_w: int, tile_h: int):
     )
 
 
+def _is_geoparquet(path: str) -> bool:
+    """True when the parquet footer carries GeoParquet 'geo' metadata
+    (driver-side peek at one file's few-KB footer)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        src = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return False
+            src = parts[0]
+        kv = pq.read_schema(src).metadata or {}
+        return b"geo" in kv
+    except Exception:
+        return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("exactextractr-spark")
     p.add_argument("--polys", required=True,
@@ -164,9 +185,17 @@ def main(argv=None):
 
         feats = read_shapefile(spark, args.polys)
     else:
-        feats = prepare_features(
-            spark.read.parquet(args.polys), args.id, args.geom
-        )
+        if _is_geoparquet(args.polys):
+            from .sources.features import read_geoparquet
+
+            feats = read_geoparquet(
+                spark, args.polys,
+                id_col=None if args.id == "feature_id" else args.id,
+            )
+        else:
+            feats = prepare_features(
+                spark.read.parquet(args.polys), args.id, args.geom
+            )
 
     if args.linear and args.checkpoint_dir:
         raise SystemExit("--linear cannot be combined with --checkpoint-dir "

@@ -132,3 +132,85 @@ def transform_features(df: DataFrame, src_crs: str, dst_crs: str) -> DataFrame:
     if "crs" in df.columns:
         out = out.withColumn("crs", F.lit(dst_crs))
     return out
+
+
+def read_geoparquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_col: str | None = None,
+    keep_cols: "list[str] | None" = None,
+):
+    """Read a GeoParquet file/directory into the normalized feature shape.
+
+    GeoParquet (OGC spec) is plain parquet whose footer carries a ``geo``
+    key-value metadata blob naming the primary geometry column (WKB
+    encoding) and its CRS as PROJJSON — so the data path is the ordinary
+    distributed parquet scan; only the few-KB footer is parsed on the
+    driver (pyarrow). The CRS maps to ``EPSG:<code>`` via the PROJJSON
+    ``id`` field (GeoParquet's default is OGC:CRS84 == lon/lat WGS84,
+    normalized to EPSG:4326).
+
+    ``id_col`` defaults to ``feature_id`` when present; otherwise it must
+    be given (a distributed source has no implicit stable row numbers).
+    With ``keep_cols`` the return is ``(features, attrs)``.
+    """
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    # footer of one data file (all parts share the schema metadata)
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(f"{path}: no parquet files")
+        meta_src = parts[0]
+    else:
+        meta_src = path
+    kv = pq.read_schema(meta_src).metadata or {}
+    geo = kv.get(b"geo")
+    if geo is None:
+        raise ValueError(
+            f"{meta_src}: no 'geo' footer metadata — not a GeoParquet file "
+            "(use prepare_features for plain parquet + WKB)"
+        )
+    gmeta = json.loads(geo)
+    geom_col = gmeta.get("primary_column") or "geometry"
+    colmeta = (gmeta.get("columns") or {}).get(geom_col, {})
+    enc = colmeta.get("encoding", "WKB")
+    if str(enc).upper() != "WKB":
+        raise ValueError(f"GeoParquet encoding {enc!r} not supported (WKB only)")
+    crs = None
+    cj = colmeta.get("crs")
+    if cj is None:
+        crs = "EPSG:4326"  # spec default: OGC:CRS84
+    elif isinstance(cj, dict):
+        cid = cj.get("id") or {}
+        auth, code = cid.get("authority"), cid.get("code")
+        if auth in ("EPSG", "OGC") and code is not None:
+            crs = (
+                "EPSG:4326"
+                if (auth == "OGC" and str(code) == "CRS84")
+                else f"EPSG:{code}"
+            )
+    df = spark.read.parquet(path)
+    if id_col is None:
+        if "feature_id" in df.columns:
+            id_col = "feature_id"
+        else:
+            raise ValueError(
+                "pass id_col= (no feature_id column; a distributed source "
+                "has no implicit stable row numbering)"
+            )
+    feats = prepare_features(df, id_col, geom_col, crs=crs)
+    if keep_cols:
+        missing = [c for c in keep_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns {missing} not in {path}")
+        attrs = df.select(
+            F.col(id_col).cast("long").alias("feature_id"), *keep_cols
+        )
+        return feats, attrs
+    return feats

@@ -94,7 +94,7 @@ def main(argv=None):
         "length (the reference CLI's linear mode; weighted stats invalid)",
     )
     p.add_argument("--format",
-                   choices=["parquet", "csv", "geojson", "netcdf", "gpkg"],
+                   choices=["parquet", "csv", "geojson", "netcdf", "gpkg", "shp"],
                    default="parquet",
                    help="geojson writes ONE FeatureCollection with the input "
                    "geometries + stat properties (the reference CLI's OGR "
@@ -251,6 +251,21 @@ def main(argv=None):
 
         pdf_out = out.toPandas()
         write_netcdf_table(args.output, pdf_out)
+    elif args.format == "shp":
+        from .sources.shapefile import write_shapefile
+
+        geo_rows = feats.select(
+            "feature_id", "geom",
+            *(["crs"] if "crs" in feats.columns else []),
+        ).collect()
+        geoms = {r["feature_id"]: bytes(r["geom"]) for r in geo_rows}
+        crs0 = (
+            geo_rows[0]["crs"]
+            if geo_rows and "crs" in feats.columns
+            else None
+        )
+        pdf_out = out.toPandas()
+        write_shapefile(args.output, pdf_out, geoms, crs=crs0)
     elif args.format == "gpkg":
         from .sources.geopackage import write_gpkg
 
@@ -279,7 +294,7 @@ def main(argv=None):
         out.write.mode("overwrite").parquet(args.output)
     if args.format == "geojson":
         n = len(features_json)
-    elif args.format in ("netcdf", "gpkg"):
+    elif args.format in ("netcdf", "gpkg", "shp"):
         n = len(pdf_out)
     else:
         n = spark.read.format(args.format).option("header", "true").load(args.output).count()

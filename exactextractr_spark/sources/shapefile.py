@@ -281,3 +281,181 @@ def read_shapefile(
     if keep_cols:
         return feats, df.select("feature_id", *keep_cols)
     return feats
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+
+def _wkb_to_shp_rings(wkb: bytes) -> "tuple[int, list[np.ndarray]]":
+    """WKB -> (shape_type, parts) in shapefile conventions: polygons as
+    rings wound CW for outers / CCW for holes, polylines as-is."""
+    from ..core.geom import from_wkb
+
+    g = from_wkb(wkb)
+    polys = g.polygons()
+    if polys:
+        parts: list[np.ndarray] = []
+        for rings in polys:
+            for j, r in enumerate(rings):
+                a = np.asarray(r, dtype="<f8")
+                if not np.array_equal(a[0], a[-1]):
+                    a = np.vstack([a, a[:1]])
+                area = _ring_signed_area(a)
+                # outer (j==0) must be CW (area<=0), holes CCW (area>0)
+                if (j == 0 and area > 0) or (j > 0 and area < 0):
+                    a = a[::-1]
+                parts.append(a)
+        return 5, parts
+    lines = g.linestrings()
+    if lines:
+        return 3, [np.asarray(ln, dtype="<f8") for ln in lines]
+    raise ValueError(f"geometry kind {g.kind!r} not writable to shapefile")
+
+
+def write_shapefile(
+    path_base: str,
+    attrs: pd.DataFrame,
+    geoms: "dict[int, bytes]",
+    *,
+    crs: "str | None" = None,
+) -> None:
+    """Write ``<path_base>.shp`` + ``.shx`` + ``.dbf`` (+ ``.prj`` when a
+    CRS is given) — the OGR-writer parity sink for the shapefile source
+    (reference CLI writes any OGR format, gdal_writer.h:25-54).
+
+    ``attrs`` must contain ``feature_id`` (written as an N field ``FID``);
+    other columns become dBASE fields (N for numerics, C otherwise).
+    All geometries must be the same family (polygon or polyline)."""
+    if path_base.lower().endswith(".shp"):
+        path_base = path_base[:-4]
+    if "feature_id" not in attrs.columns:
+        raise ValueError("attrs must contain a feature_id column")
+    ids = [int(i) for i in attrs["feature_id"]]
+    missing = [i for i in ids if i not in geoms]
+    if missing:
+        raise ValueError(f"no geometry for feature_id(s) {missing[:5]}")
+    shapes = [_wkb_to_shp_rings(geoms[i]) for i in ids]
+    stypes = {t for t, _ in shapes}
+    if len(stypes) > 1:
+        raise ValueError(
+            "mixed polygon/polyline geometries cannot share one shapefile"
+        )
+    stype = next(iter(stypes)) if shapes else 5
+
+    recs = []
+    shx = []
+    offset_words = 50  # .shp header = 100 bytes
+    for recno, (st, parts) in enumerate(shapes, start=1):
+        pts = np.vstack(parts)
+        part_offs = []
+        off = 0
+        for pr in parts:
+            part_offs.append(off)
+            off += len(pr)
+        content = struct.pack("<i", st)
+        content += struct.pack(
+            "<4d", pts[:, 0].min(), pts[:, 1].min(),
+            pts[:, 0].max(), pts[:, 1].max(),
+        )
+        content += struct.pack("<ii", len(parts), len(pts))
+        content += struct.pack("<" + "i" * len(part_offs), *part_offs)
+        content += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        recs.append(struct.pack(">ii", recno, len(content) // 2) + content)
+        shx.append(struct.pack(">ii", offset_words, len(content) // 2))
+        offset_words += 4 + len(content) // 2
+    body = b"".join(recs)
+
+    if shapes:
+        all_pts = np.vstack([np.vstack(p) for _, p in shapes])
+        bbox = (all_pts[:, 0].min(), all_pts[:, 1].min(),
+                all_pts[:, 0].max(), all_pts[:, 1].max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+
+    def _header(total_words: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20
+        h += struct.pack(">i", total_words)
+        h += struct.pack("<ii", 1000, stype)
+        h += struct.pack("<4d", *bbox)
+        h += struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    open(path_base + ".shp", "wb").write(
+        _header((100 + len(body)) // 2) + body
+    )
+    open(path_base + ".shx", "wb").write(
+        _header((100 + 8 * len(shx)) // 2) + b"".join(shx)
+    )
+
+    # .dbf: FID + attribute columns
+    attr_cols = [c for c in attrs.columns if c != "feature_id"]
+    fields = [("FID", "N", 18, 0)]
+    for c in attr_cols:
+        k = getattr(attrs[c].dtype, "kind", "O")
+        if k in ("i", "u"):
+            fields.append((c[:10], "N", 18, 0))
+        elif k == "f":
+            fields.append((c[:10], "N", 24, 10))
+        else:
+            width = max(
+                [1] + [len(str(v)) for v in attrs[c]]
+            )
+            fields.append((c[:10], "C", min(254, width), 0))
+    fdesc = b""
+    rec_size = 1
+    for name, ftype, flen, fdec in fields:
+        fdesc += (
+            name.encode("latin-1").ljust(11, b"\x00")
+            + ftype.encode()
+            + b"\x00" * 4
+            + bytes([flen, fdec])
+            + b"\x00" * 14
+        )
+        rec_size += flen
+    hdr_size = 32 + len(fdesc) + 1
+    out = bytearray(
+        bytes([3, 96, 1, 1])
+        + struct.pack("<IHH", len(ids), hdr_size, rec_size)
+        + b"\x00" * 20
+        + fdesc
+        + b"\x0d"
+    )
+    for _, row in attrs.iterrows():
+        out += b" "
+        vals = [int(row["feature_id"])] + [row[c] for c in attr_cols]
+        for (name, ftype, flen, fdec), v in zip(fields, vals):
+            if ftype == "N":
+                if v is None or (isinstance(v, float) and v != v):
+                    out += b" " * flen
+                elif fdec:
+                    out += (f"%{flen}.{fdec}f" % float(v)).rjust(flen)[:flen].encode()
+                else:
+                    out += str(int(v)).rjust(flen)[:flen].encode()
+            else:
+                out += str(v if v is not None else "").ljust(flen)[:flen].encode("latin-1")
+    out += b"\x1a"
+    open(path_base + ".dbf", "wb").write(bytes(out))
+
+    if crs:
+        c = crs.upper()
+        if c == "EPSG:4326":
+            wkt = (
+                'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                'UNIT["degree",0.0174532925199433],'
+                'AUTHORITY["EPSG","4326"]]'
+            )
+        elif c.startswith("EPSG:"):
+            code = c.split(":", 1)[1]
+            wkt = (
+                f'PROJCS["{c}",GEOGCS["WGS 84",DATUM["WGS_1984",'
+                'SPHEROID["WGS 84",6378137,298.257223563]],'
+                'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+                f'UNIT["metre",1],AUTHORITY["EPSG","{code}"]]'
+            )
+        else:
+            wkt = None
+        if wkt:
+            open(path_base + ".prj", "w").write(wkt)

@@ -16,6 +16,9 @@ form for the families that need no datum math (all WGS84-based):
   Lambert azimuthal equal-area (EPSG:3035 Europe) — Snyder PP1395
   closed forms, validated against its published worked examples and by
   numeric conformality/equal-area Jacobian checks (test_crs_conic.py)
+- polar stereographic (EPSG:3413 Arctic NSIDC, EPSG:3031 Antarctic,
+  EPSG:5041/5042 UPS) — Snyder §21 ellipsoidal forms, the §21 south-polar
+  worked example reproduced to 0.1 m
 
 Any pair within this family composes through lon/lat. Every other
 mismatched pair raises with the reference's guidance — never a silent
@@ -126,6 +129,7 @@ def _supported(crs: str) -> bool:
         or _utm_zone(c) is not None
         or c in _NAMED_TM
         or c in _NAMED_CONIC
+        or c in _NAMED_POLAR
     )
 
 
@@ -309,6 +313,62 @@ _NAMED_CONIC = {
     "EPSG:3035": ("laea", _GRS80_A, _GRS80_F, None, None, 52.0, 10.0,
                   4_321_000.0, 3_210_000.0),
 }
+
+#: polar stereographic (Snyder §21 ellipsoidal; EPSG 9829 variant B with a
+#: standard parallel, 9810 variant A with k0 at the pole):
+#: code -> (a, f, lat_ts | None, k0 | None, lon0, FE, FN, south)
+_NAMED_POLAR = {
+    # NSIDC Sea Ice Polar Stereographic North (WGS84)
+    "EPSG:3413": (_R, _F, 70.0, None, -45.0, 0.0, 0.0, False),
+    # Antarctic Polar Stereographic (WGS84)
+    "EPSG:3031": (_R, _F, -71.0, None, 0.0, 0.0, 0.0, True),
+    # Universal Polar Stereographic North / South (WGS84, k0=0.994)
+    "EPSG:5041": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, False),
+    "EPSG:5042": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
+}
+
+
+def _ps_rho_factor(a, e, e2, lat_ts, k0):
+    """a*m1/t1 (variant B) or 2*a*k0/sqrt((1+e)^(1+e)(1-e)^(1-e)) (A)."""
+    if lat_ts is not None:
+        p1 = math.radians(abs(lat_ts))
+        m1 = float(_conic_m(np.array(p1), e2))
+        t1 = float(_conic_t(np.array(p1), e))
+        return a * m1 / t1
+    return 2.0 * a * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+
+def _polar_from_lonlat(lon, lat, code: str):
+    a, f, lat_ts, k0, lon0, fe, fn, south = _NAMED_POLAR[code]
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sgn = -1.0 if south else 1.0
+    # south aspect: all of (lambda-lambda0, phi, x, y) negate (Snyder §21)
+    phi = np.radians(sgn * lat)
+    dlam = np.radians(sgn * ((lon - lon0 + 180.0) % 360.0 - 180.0))
+    rho = _ps_rho_factor(a, e, e2, lat_ts, k0) * _conic_t(phi, e)
+    x = rho * np.sin(dlam)
+    y = -rho * np.cos(dlam)
+    return fe + sgn * x, fn + sgn * y
+
+
+def _polar_to_lonlat(x, y, code: str):
+    a, f, lat_ts, k0, lon0, fe, fn, south = _NAMED_POLAR[code]
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    sgn = -1.0 if south else 1.0
+    x = sgn * (np.asarray(x, dtype=np.float64) - fe)
+    y = sgn * (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(x, y)
+    t = rho / _ps_rho_factor(a, e, e2, lat_ts, k0)
+    chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    phi = _conformal_to_geodetic(chi, a, f)
+    lam = np.arctan2(x, -y)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    lon = lon0 + sgn * np.degrees(lam)
+    return (lon + 180.0) % 360.0 - 180.0, sgn * np.degrees(phi)
 
 
 def _conic_m(phi, e2):
@@ -502,6 +562,8 @@ def _to_lonlat(
         return _named_tm_to_lonlat(x, y, c)
     if c in _NAMED_CONIC:
         return _conic_to_lonlat(x, y, c)
+    if c in _NAMED_POLAR:
+        return _polar_to_lonlat(x, y, c)
     raise _unsupported(crs)
 
 
@@ -534,11 +596,13 @@ def _from_lonlat(
         return _named_tm_from_lonlat(lon, lat, c)
     if c in _NAMED_CONIC:
         return _conic_from_lonlat(lon, lat, c)
+    if c in _NAMED_POLAR:
+        return _polar_from_lonlat(lon, lat, c)
     raise _unsupported(crs)
 
 
 def _unsupported(crs: str) -> ValueError:
-    named = ", ".join(sorted(_NAMED_TM) + sorted(_NAMED_CONIC))
+    named = ", ".join(sorted(_NAMED_TM) + sorted(_NAMED_CONIC) + sorted(_NAMED_POLAR))
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
         f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "

@@ -204,3 +204,78 @@ def test_zonal_auto_transform_conic(spark):
     assert got["count"] == pytest.approx(want["count"], rel=1e-6)
     assert got["sum"] == pytest.approx(want["sum"], rel=1e-6)
     assert got["mean"] == pytest.approx(want["mean"], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# polar stereographic
+# ---------------------------------------------------------------------------
+
+
+def test_snyder_polar_stereographic_worked_example(monkeypatch):
+    """Snyder PP1395 §21 south-polar ellipsoidal example (International
+    1924, phi_c=-71, lam0=-100; point phi=-75, lam=150)."""
+    a_i, e2_i = 6378388.0, 0.00672267
+    f_i = 1.0 - math.sqrt(1.0 - e2_i)
+    reg = dict(crs._NAMED_POLAR)
+    reg["TEST:PSS"] = (a_i, f_i, -71.0, None, -100.0, 0.0, 0.0, True)
+    monkeypatch.setattr(crs, "_NAMED_POLAR", reg)
+    x, y = crs._polar_from_lonlat(np.array([150.0]), np.array([-75.0]),
+                                  "TEST:PSS")
+    assert x[0] == pytest.approx(-1_540_033.6, abs=0.1)
+    assert y[0] == pytest.approx(-560_526.4, abs=0.1)
+    lon, lat = crs._polar_to_lonlat(x, y, "TEST:PSS")
+    assert lon[0] == pytest.approx(150.0, abs=1e-7)
+    assert lat[0] == pytest.approx(-75.0, abs=1e-7)
+
+
+@pytest.mark.parametrize("code,lat_rng", [
+    ("EPSG:3413", (60.0, 89.9)),
+    ("EPSG:3031", (-89.9, -60.0)),
+    ("EPSG:5041", (80.0, 89.99)),
+    ("EPSG:5042", (-89.99, -80.0)),
+])
+def test_polar_roundtrip(code, lat_rng):
+    rng = np.random.default_rng(abs(hash(code)) % 2**32)
+    lon = rng.uniform(-180.0, 180.0, 2000)
+    lat = rng.uniform(*lat_rng, 2000)
+    x, y = transform_xy(lon, lat, "EPSG:4326", code)
+    lon2, lat2 = transform_xy(x, y, code, "EPSG:4326")
+    dl = np.abs((lon2 - lon + 180.0) % 360.0 - 180.0)
+    assert dl.max() < 1e-7
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_polar_conformal_and_std_parallel():
+    """Isotropic local scale everywhere; k=1 exactly on the standard
+    parallel; the pole maps to the false origin (UPS: 2e6, 2e6)."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2.0 - f)
+    h = 1e-6
+    rng = np.random.default_rng(9)
+    for code, sp, lat_rng in [("EPSG:3413", 70.0, (62, 88)),
+                              ("EPSG:3031", -71.0, (-88, -62))]:
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(*lat_rng, 200)
+        x0, y0 = crs._from_lonlat(lon, lat, code)
+        xl, yl = crs._from_lonlat(lon + h, lat, code)
+        xp, yp = crs._from_lonlat(lon, lat + h, code)
+        phi = np.radians(lat)
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        rho_m = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        k_par = np.hypot(xl - x0, yl - y0) / (
+            np.radians(h) * nu * np.abs(np.cos(phi))
+        )
+        k_mer = np.hypot(xp - x0, yp - y0) / (np.radians(h) * rho_m)
+        np.testing.assert_allclose(k_par, k_mer, rtol=1e-5)
+        x0, y0 = crs._from_lonlat(np.array([10.0]), np.array([sp]), code)
+        xl, yl = crs._from_lonlat(np.array([10.0 + h]), np.array([sp]), code)
+        p = math.radians(abs(sp))
+        nu1 = a / math.sqrt(1 - e2 * math.sin(p) ** 2)
+        k = math.hypot(xl[0] - x0[0], yl[0] - y0[0]) / (
+            math.radians(h) * nu1 * math.cos(p)
+        )
+        assert k == pytest.approx(1.0, abs=1e-7)
+    x, y = transform_xy(np.array([37.0]), np.array([90.0]),
+                        "EPSG:4326", "EPSG:5041")
+    assert x[0] == pytest.approx(2_000_000.0, abs=1e-6)
+    assert y[0] == pytest.approx(2_000_000.0, abs=1e-6)

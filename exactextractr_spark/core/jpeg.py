@@ -168,6 +168,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -396,7 +399,8 @@ def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
         comp_by_cid = {c[0]: c for c in comps}
         if ss == 0:
             _prog_dc_scan(
-                scan, comps, store, mcus_x, mcus_y, ah, al, segments, ri
+                scan, comps, store, dims, mcus_x, mcus_y, ah, al, segments,
+                ri,
             )
         else:
             if len(sel) != 1:
@@ -434,7 +438,8 @@ def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
-def _prog_dc_scan(scan, comps, store, mcus_x, mcus_y, ah, al, segments, ri):
+def _prog_dc_scan(scan, comps, store, dims, mcus_x, mcus_y, ah, al,
+                  segments, ri):
     """DC scans are (usually) interleaved over all scan components in MCU
     order; Ah==0 decodes shifted diffs, Ah>0 appends one bit per block."""
     sel_by_cid = {cs: (td, ta) for cs, td, ta in scan["sel"]}
@@ -442,9 +447,10 @@ def _prog_dc_scan(scan, comps, store, mcus_x, mcus_y, ah, al, segments, ri):
     single = len(members) == 1
     if single:
         cid, h, v, tq = members[0]
-        # non-interleaved DC scan iterates the component block grid
-        order = [(cid, by, bx)
-                 for by in range(mcus_y * v) for bx in range(mcus_x * h)]
+        # non-interleaved DC scan iterates the component's ACTUAL block
+        # grid (T.81 A.2.2), not the MCU-padded one — same rule as AC scans
+        _bw, _bh, abx, aby = dims[cid]
+        order = [(cid, by, bx) for by in range(aby) for bx in range(abx)]
     else:
         order = []
         for my in range(mcus_y):

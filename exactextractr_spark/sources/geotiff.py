@@ -424,7 +424,12 @@ def _decode_chunk(
         px = decode_jpeg(data)
         if px.ndim == 2:
             px = px[:, :, None]
-        band = px[:nrows, :ncols, min(info_dict["band"], px.shape[2] - 1)]
+        if info_dict["band"] >= px.shape[2]:
+            raise ValueError(
+                f"band {info_dict['band']} out of range for "
+                f"{px.shape[2]}-channel JPEG chunk"
+            )
+        band = px[:nrows, :ncols, info_dict["band"]]
         nodata = info_dict["nodata"]
         if nodata is not None and not math.isnan(nodata):
             band = np.where(band == nodata, np.nan, band)
@@ -845,14 +850,19 @@ def resample_to_geotiff(
         base = 0
         strip = np.full((min(rows_per_strip, H), W), fill, dtype=np_dtype)
         for r in it:
-            row = int(r["dst_row"])
+            row, col = int(r["dst_row"]), int(r["dst_col"])
+            if not (0 <= row < H and 0 <= col < W):
+                raise ValueError(
+                    f"fact at (dst_row={row}, dst_col={col}) outside the "
+                    f"destination grid {H}x{W}"
+                )
             while row >= base + strip.shape[0]:
                 yield strip
                 base += strip.shape[0]
                 strip = np.full(
                     (min(rows_per_strip, H - base), W), fill, dtype=np_dtype
                 )
-            strip[row - base, int(r["dst_col"])] = r["value"]
+            strip[row - base, col] = r["value"]
         while base < H:
             yield strip
             base += strip.shape[0]

@@ -152,9 +152,9 @@ def main():
         f"```\n{plan_of(df)}```\n"
     )
     old_gate = zmod.WEIGHT_BROADCAST_MAX_BYTES
+    old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     zmod.WEIGHT_BROADCAST_MAX_BYTES = 0
     try:
-        old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = qs["zonal_weighted"](spark, SF_DIR)
         sections.append(
@@ -166,9 +166,9 @@ def main():
             "OOM-ing the executors with a payload broadcast.\n\n"
             f"```\n{plan_of(df)}```\n"
         )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
     finally:
         zmod.WEIGHT_BROADCAST_MAX_BYTES = old_gate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
 
     df = qs["zonal_stack"](spark, SF_DIR)
     sections.append(

@@ -98,10 +98,7 @@ def main():
     # one host window) and take the median across rounds. Mixing the best
     # local[2] of one window with the best local[8] of another biases the
     # ratio by whatever drift separated those windows.
-    def _median(xs):
-        xs = sorted(xs)
-        m = len(xs) // 2
-        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+    from statistics import median as _median
 
     per_round_28 = [
         (times[2][r] / times[8][r]) / 4 for r in range(rounds)

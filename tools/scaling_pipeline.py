@@ -133,10 +133,7 @@ def main():
     # efficiency: median of per-round ratios (levels within a round share
     # one host window — mixing best-of across windows biases the ratio;
     # same estimator as tools/scaling.py)
-    def _median(xs):
-        xs = sorted(xs)
-        m = len(xs) // 2
-        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+    from statistics import median as _median
 
     pr28 = [(times[2][r] / times[8][r]) / 4 for r in range(rounds)]
     pr832 = [(times[8][r] / times[32][r]) / 4 for r in range(rounds)]

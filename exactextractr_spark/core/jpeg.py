@@ -329,30 +329,43 @@ def _decode_scan(
                         raise ValueError("AC coefficient index overflow")
                     coef[k] = _extend(br.read(sz), sz)
                     k += 1
-    # dequantize + de-zigzag + batch IDCT + assemble planes
-    planes = []
+    # MCU-ordered flat blocks -> (bh, bw, 64) component grids, then the
+    # shared finish tail
+    grids = {}
     for p, (cid, h, v, tq) in zip(plan, comps):
-        blocks = p["coef"]
+        bw, bh = mcus_x * h, mcus_y * v
+        grids[cid] = (
+            p["coef"].reshape(mcus_y, mcus_x, v, h, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bh, bw, 64)
+        )
+    return _finish(grids, comps, qt, width, height, hmax, vmax)
+
+
+def _finish(grids, comps, qt, width, height, hmax, vmax) -> np.ndarray:
+    """Shared decode tail for baseline and progressive: dequantize +
+    de-zigzag + one batched IDCT per component, plane assembly, chroma
+    upsampling (factor-2 uses the triangular filter — libjpeg "fancy
+    upsampling": 3/4 near + 1/4 far with edge replication; plain
+    replication costs several dB of chroma PSNR), crop, and the JFIF
+    YCbCr->RGB transform. ``grids[cid]`` is (bh, bw, 64) zigzag-ordered
+    raw coefficients."""
+    planes = []
+    for cid, h, v, tq in comps:
+        g = grids[cid]
+        bh, bw = g.shape[0], g.shape[1]
+        blocks = g.reshape(-1, 64).astype(np.float64)
         deq = np.empty_like(blocks)
         deq[:, _ZIGZAG] = blocks * qt[tq][None, :]
         F8 = deq.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _A, F8, _A) + 128.0
-        # MCU-ordered blocks -> component plane
-        bw, bh = mcus_x * h, mcus_y * v
-        plane = np.zeros((bh * 8, bw * 8))
-        blk = spatial.reshape(mcus_y, mcus_x, v, h, 8, 8)
-        # (my, mx, v, h, y, x) -> rows my*v*8, cols mx*h*8
         plane = (
-            blk.transpose(0, 2, 4, 1, 3, 5).reshape(bh * 8, bw * 8)
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
         )
-        # upsample to full resolution, crop. Factor 2 uses the triangular
-        # filter (libjpeg "fancy upsampling": 3/4 near + 1/4 far with edge
-        # replication) — chroma samples sit between luma pairs, so plain
-        # replication costs several dB of chroma PSNR; other factors fall
-        # back to replication.
-        ry, rx = vmax // v, hmax // h
-        plane = _upsample_axis(plane, ry, axis=0)
-        plane = _upsample_axis(plane, rx, axis=1)
+        plane = _upsample_axis(plane, vmax // v, axis=0)
+        plane = _upsample_axis(plane, hmax // h, axis=1)
         planes.append(plane[:height, :width])
     if len(planes) == 1:
         return np.clip(planes[0], 0.0, 255.0)
@@ -411,31 +424,7 @@ def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
                 segments, ri,
             )
 
-    # finish: dequant + de-zigzag + IDCT + assemble/upsample + color
-    planes = []
-    for cid, h, v, tq in comps:
-        bw, bh = mcus_x * h, mcus_y * v
-        blocks = store[cid].reshape(-1, 64).astype(np.float64)
-        deq = np.empty_like(blocks)
-        deq[:, _ZIGZAG] = blocks * qt[tq][None, :]
-        F8 = deq.reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", _A, F8, _A) + 128.0
-        plane = (
-            spatial.reshape(bh, bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
-        )
-        ry, rx = vmax // v, hmax // h
-        plane = _upsample_axis(plane, ry, axis=0)
-        plane = _upsample_axis(plane, rx, axis=1)
-        planes.append(plane[:height, :width])
-    if len(planes) == 1:
-        return np.clip(planes[0], 0.0, 255.0)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+    return _finish(store, comps, qt, width, height, hmax, vmax)
 
 
 def _prog_dc_scan(scan, comps, store, dims, mcus_x, mcus_y, ah, al,

@@ -894,6 +894,14 @@ def exact_extract(
     R/exact_extract_helpers.R:154-160). ``sort=False`` skips the final
     global orderBy — at scale that is one avoidable full sort; pass False
     whenever downstream consumers don't need feature_id order.
+
+    Cardinality note: frequency stats (``mode``/``minority``/``variety``/
+    ``median``/``quantile``/``frac``/``weighted_frac``) shuffle one row
+    per DISTINCT (feature, value) pair, and ``frac`` additionally collects
+    the GLOBAL distinct value set on the driver to zero-fill (the
+    reference's own two-pass semantics, src/exact_extract.cpp:420-434) —
+    intended for categorical rasters. A continuous-valued raster makes
+    these scale with covered cells; algebraic stats are unaffected.
     """
     if isinstance(stats, str):
         stats = [stats]

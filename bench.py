@@ -144,13 +144,13 @@ def run_headline(spark) -> tuple[float, float, int]:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
-    reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     timings = {}
     for name, fn in entry_mod.queries().items():
         # best-of-k: a single-shot number on this noisy shared VM measures
         # first-touch parquet reads + plan compile + neighbor load as much
         # as the query (observed 3x swings on identical code); the min of
-        # two runs is the query's capability
+        # three runs is the query's capability
         best = float("inf")
         for _ in range(reps):
             # identical logical plans hit Spark's CacheManager across

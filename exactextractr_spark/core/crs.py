@@ -309,6 +309,9 @@ _NAMED_CONIC = {
     # NAD83 / Conus Albers
     "EPSG:5070": ("albers", _GRS80_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0,
                   0.0, 0.0),
+    # GDA94 / Australian Albers (GDA94 == WGS84 at this accuracy)
+    "EPSG:3577": ("albers", _GRS80_A, _GRS80_F, -18.0, -36.0, 0.0, 132.0,
+                  0.0, 0.0),
     # ETRS89-extended / LAEA Europe
     "EPSG:3035": ("laea", _GRS80_A, _GRS80_F, None, None, 52.0, 10.0,
                   4_321_000.0, 3_210_000.0),
@@ -322,9 +325,12 @@ _NAMED_POLAR = {
     "EPSG:3413": (_R, _F, 70.0, None, -45.0, 0.0, 0.0, False),
     # Antarctic Polar Stereographic (WGS84)
     "EPSG:3031": (_R, _F, -71.0, None, 0.0, 0.0, 0.0, True),
-    # Universal Polar Stereographic North / South (WGS84, k0=0.994)
+    # Universal Polar Stereographic North / South (WGS84, k0=0.994);
+    # 32661/32761 are the legacy codes for the same definitions
     "EPSG:5041": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, False),
     "EPSG:5042": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
+    "EPSG:32661": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, False),
+    "EPSG:32761": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
 }
 
 

@@ -76,6 +76,7 @@ _DOMAINS = {
     "EPSG:2154": ((-5.0, 9.0), (41.0, 51.0)),
     "EPSG:5070": ((-124.0, -67.0), (25.0, 49.0)),
     "EPSG:3035": ((-10.0, 30.0), (35.0, 70.0)),
+    "EPSG:3577": ((113.0, 154.0), (-44.0, -10.0)),
 }
 
 
@@ -99,7 +100,7 @@ def _jacobian_per_rad2(code, lon, lat, h=1e-6):
     return det * (180.0 / math.pi) ** 2
 
 
-@pytest.mark.parametrize("code", ["EPSG:5070", "EPSG:3035"])
+@pytest.mark.parametrize("code", ["EPSG:5070", "EPSG:3035", "EPSG:3577"])
 def test_equal_area_jacobian(code):
     """|d(E,N)/d(lam,phi)| must equal the ellipsoid area element
     a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 — the defining property
@@ -279,3 +280,11 @@ def test_polar_conformal_and_std_parallel():
                         "EPSG:4326", "EPSG:5041")
     assert x[0] == pytest.approx(2_000_000.0, abs=1e-6)
     assert y[0] == pytest.approx(2_000_000.0, abs=1e-6)
+    # legacy UPS codes alias the 504x definitions exactly
+    rng2 = np.random.default_rng(12)
+    la = rng2.uniform(-180, 180, 50)
+    ph = rng2.uniform(84, 89, 50)
+    xa, ya = transform_xy(la, ph, "EPSG:4326", "EPSG:32661")
+    xb, yb = transform_xy(la, ph, "EPSG:4326", "EPSG:5041")
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)

@@ -98,6 +98,10 @@ def _norm(crs: str) -> str:
         return "EPSG:4326"
     if c in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
+    if c in ("MODIS", "MODIS-SINUSOIDAL"):
+        return "SR-ORG:6974"
+    if "+PROJ=" in c:
+        return _canon_projstr(c)
     return c
 
 
@@ -124,13 +128,20 @@ def _utm_zone(crs: str) -> "tuple[int, bool] | None":
 
 def _supported(crs: str) -> bool:
     c = _norm(crs)
-    return (
+    if (
         c in ("EPSG:4326", "EPSG:3857")
         or _utm_zone(c) is not None
         or c in _NAMED_TM
         or c in _NAMED_CONIC
         or c in _NAMED_POLAR
-    )
+        or c in _NAMED_MERC
+        or c in _NAMED_SINU
+    ):
+        return True
+    try:
+        return _projstr_def(c) is not None
+    except ValueError:
+        return False
 
 
 def can_transform(src: str, dst: str) -> bool:
@@ -251,9 +262,12 @@ def _geocentric_to_geodetic(x, y, z, a, f):
     return np.degrees(lam), np.degrees(phi)
 
 
-def _named_tm_from_lonlat(lon, lat, code: str):
-    """WGS84 lon/lat -> projected E/N of a named non-WGS84 TM CRS."""
-    a, f, lat0, lon0, k0, fe, fn, helm = _NAMED_TM[code]
+def _named_tm_from_lonlat(lon, lat, dfn):
+    """WGS84 lon/lat -> projected E/N of a generalized TM CRS
+    (a, f, lat0, lon0, k0, FE, FN, helmert)."""
+    if isinstance(dfn, str):
+        dfn = _NAMED_TM[dfn]
+    a, f, lat0, lon0, k0, fe, fn, helm = dfn
     # datum shift: WGS84 geodetic -> geocentric -> local -> local geodetic
     x, y, z = _geodetic_to_geocentric(
         np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64),
@@ -272,8 +286,10 @@ def _named_tm_from_lonlat(lon, lat, code: str):
     return e, n
 
 
-def _named_tm_to_lonlat(e, n, code: str):
-    a, f, lat0, lon0, k0, fe, fn, helm = _NAMED_TM[code]
+def _named_tm_to_lonlat(e, n, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_TM[dfn]
+    a, f, lat0, lon0, k0, fe, fn, helm = dfn
     consts = _series_consts(a, f)
     _, an0 = _tm_forward(np.array([lon0]), np.array([lat0]), lon0, consts)
     ae = (np.asarray(e, dtype=np.float64) - fe) / k0
@@ -333,6 +349,125 @@ _NAMED_POLAR = {
     "EPSG:32761": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
 }
 
+#: normal-aspect Mercator (Snyder §7 ellipsoidal, eq. 7-6..7-8 / 7-9..7-10):
+#: code -> (a, f, lat_ts | None, k0 | None, lon0, FE, FN). EPSG:3395 is
+#: "World Mercator" (WGS84 ellipsoid, k0=1) — the most common global-raster
+#: projected CRS after web-mercator.
+_NAMED_MERC = {
+    "EPSG:3395": (_R, _F, None, 1.0, 0.0, 0.0, 0.0),
+}
+
+#: sinusoidal (Snyder §30; spherical eq. 30-1..30-5, ellipsoidal
+#: 30-8..30-11): code -> (a, f, lon0, FE, FN).
+#: SR-ORG:6974 is the MODIS sinusoidal grid — sphere R=6371007.181 m
+#: (the radius in every MOD* HDF's mapprojection struct); ESRI:54008 is
+#: World_Sinusoidal on the WGS84 ellipsoid.
+_NAMED_SINU = {
+    "SR-ORG:6974": (6371007.181, 0.0, 0.0, 0.0, 0.0),
+    "ESRI:54008": (_R, _F, 0.0, 0.0, 0.0),
+}
+
+
+def _merc_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_MERC[dfn]
+    a, f, lat_ts, k0, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    if lat_ts is not None:  # k0 from the standard parallel (Snyder 7-8)
+        k0 = float(_conic_m(np.array(math.radians(abs(lat_ts))), e2))
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    dlam = np.radians((lon - lon0 + 180.0) % 360.0 - 180.0)
+    x = fe + a * k0 * dlam
+    # y = -a*k0*ln t(phi) (Snyder 7-7 via the isometric-colatitude t)
+    y = fn - a * k0 * np.log(_conic_t(phi, e))
+    return x, y
+
+
+def _merc_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_MERC[dfn]
+    a, f, lat_ts, k0, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    if lat_ts is not None:
+        k0 = float(_conic_m(np.array(math.radians(abs(lat_ts))), e2))
+    t = np.exp((fn - np.asarray(y, dtype=np.float64)) / (a * k0))
+    chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    phi = _conformal_to_geodetic(chi, a, f)
+    lon = lon0 + np.degrees((np.asarray(x, dtype=np.float64) - fe) / (a * k0))
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
+def _merid_arc(phi, a, e2):
+    """Meridian distance M(phi) (Snyder eq. 3-21)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * (
+        (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+        * np.sin(2.0 * phi)
+        + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * np.sin(4.0 * phi)
+        - (35.0 * e6 / 3072.0) * np.sin(6.0 * phi)
+    )
+
+
+def _merid_arc_inverse(M, a, e2):
+    """phi from meridian distance via the rectifying latitude mu and
+    Snyder's series eq. 3-26 (e1 = (1-sqrt(1-e2))/(1+sqrt(1-e2)))."""
+    se = math.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    mu = M / (a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0
+                   - 5.0 * e2 ** 3 / 256.0))
+    return (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    )
+
+
+def _sinu_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_SINU[dfn]
+    a, f, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    dlam = np.radians((lon - lon0 + 180.0) % 360.0 - 180.0)
+    if e2 == 0.0:  # sphere (Snyder 30-1/30-2) — the MODIS grid
+        return fe + a * dlam * np.cos(phi), fn + a * phi
+    s = np.sin(phi)
+    x = a * dlam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)  # Snyder 30-8
+    return fe + x, fn + _merid_arc(phi, a, e2)  # Snyder 30-9
+
+
+def _sinu_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_SINU[dfn]
+    a, f, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    if e2 == 0.0:
+        phi = y / a
+    else:
+        phi = _merid_arc_inverse(y, a, e2)  # Snyder 30-10
+    cphi = np.cos(phi)
+    # at the poles every x maps to lon0 (cos(phi)=0 — guard the 0/0)
+    safe = np.where(np.abs(cphi) < 1e-12, 1.0, cphi)
+    if e2 == 0.0:
+        dlam = x / (a * safe)
+    else:
+        s = np.sin(phi)
+        dlam = x * np.sqrt(1.0 - e2 * s * s) / (a * safe)  # Snyder 30-11
+    dlam = np.where(np.abs(cphi) < 1e-12, 0.0, dlam)
+    lon = lon0 + np.degrees(dlam)
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
 
 def _ps_rho_factor(a, e, e2, lat_ts, k0):
     """a*m1/t1 (variant B) or 2*a*k0/sqrt((1+e)^(1+e)(1-e)^(1-e)) (A)."""
@@ -344,8 +479,10 @@ def _ps_rho_factor(a, e, e2, lat_ts, k0):
     return 2.0 * a * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
 
 
-def _polar_from_lonlat(lon, lat, code: str):
-    a, f, lat_ts, k0, lon0, fe, fn, south = _NAMED_POLAR[code]
+def _polar_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_POLAR[dfn]
+    a, f, lat_ts, k0, lon0, fe, fn, south = dfn
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
     lon = np.asarray(lon, dtype=np.float64)
@@ -360,8 +497,10 @@ def _polar_from_lonlat(lon, lat, code: str):
     return fe + sgn * x, fn + sgn * y
 
 
-def _polar_to_lonlat(x, y, code: str):
-    a, f, lat_ts, k0, lon0, fe, fn, south = _NAMED_POLAR[code]
+def _polar_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_POLAR[dfn]
+    a, f, lat_ts, k0, lon0, fe, fn, south = dfn
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
     sgn = -1.0 if south else 1.0
@@ -421,8 +560,10 @@ def _conformal_to_geodetic(chi, a, f):
     return phi
 
 
-def _conic_from_lonlat(lon, lat, code: str):
-    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = _NAMED_CONIC[code]
+def _conic_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_CONIC[dfn]
+    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = dfn
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
     lon = np.asarray(lon, dtype=np.float64)
@@ -473,8 +614,10 @@ def _conic_from_lonlat(lon, lat, code: str):
     return fe + x, fn + y
 
 
-def _conic_to_lonlat(x, y, code: str):
-    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = _NAMED_CONIC[code]
+def _conic_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_CONIC[dfn]
+    kind, a, f, lat1, lat2, lat0, lon0, fe, fn = dfn
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
     x = np.asarray(x, dtype=np.float64) - fe
@@ -543,6 +686,145 @@ def _conic_to_lonlat(x, y, code: str):
     return lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# parameterized CRSs: a PROJ-style "+proj=... +key=value" string describing
+# any projection family this module implements closed-form. This is the
+# escape hatch for rasters whose GeoKeys carry projection PARAMETERS rather
+# than an EPSG code (GeoTIFF 1.1 §B.3, ProjCoordTransGeoKey + Proj*GeoKeys)
+# — the reference handles those via PROJ (R/exact_extract.R:360-377).
+# Recognized: proj=tmerc|merc|lcc|aea|laea|stere (polar aspect)|sinu;
+# ellipsoid via a/rf/b/f/R/ellps=WGS84|GRS80|clrk66|sphere (default WGS84);
+# params lat_0 lat_1 lat_2 lat_ts lon_0 k_0 x_0 y_0 towgs84.
+# ---------------------------------------------------------------------------
+
+_ELLPS = {
+    "WGS84": (_R, _F),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "CLRK66": (6378206.4, 1.0 - math.sqrt(1.0 - 0.00676866)),
+    "INTL": (6378388.0, 1.0 / 297.0),
+    "SPHERE": (6370997.0, 0.0),
+}
+
+_IDENT_HELM = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def _parse_projstr(c: str) -> "dict | None":
+    """Token dict from a _norm-normalized (upper, no-space) proj string,
+    or None if it isn't one."""
+    if "+PROJ=" not in c:
+        return None
+    d: dict = {}
+    for tok in c.split("+"):
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            d[k] = v
+        else:
+            d[tok] = ""
+    return d if "PROJ" in d else None
+
+
+def _projstr_ellipsoid(d: dict) -> tuple[float, float]:
+    if "R" in d:
+        return float(d["R"]), 0.0
+    if "A" in d:
+        a = float(d["A"])
+        if "RF" in d:
+            return a, 1.0 / float(d["RF"])
+        if "B" in d:
+            return a, (a - float(d["B"])) / a
+        if "F" in d:
+            return a, float(d["F"])
+        return a, 0.0  # semi-major alone -> sphere of that radius
+    name = d.get("ELLPS") or d.get("DATUM") or "WGS84"
+    if name not in _ELLPS:
+        raise ValueError(f"unknown ellipsoid {name!r} in proj string")
+    return _ELLPS[name]
+
+
+def _projstr_def(c: str):
+    """('tm'|'conic'|'polar'|'merc'|'sinu', dfn) for a canonical proj
+    string, or None if ``c`` is not a proj string. Raises ValueError for a
+    proj string naming an unimplemented projection."""
+    d = _parse_projstr(c)
+    if d is None:
+        return None
+    a, f = _projstr_ellipsoid(d)
+    g = lambda k, dflt=0.0: float(d[k]) if k in d else dflt  # noqa: E731
+    proj = d["PROJ"]
+    helm = _IDENT_HELM
+    if "TOWGS84" in d:
+        # towgs84 is local->WGS84 (position-vector); our tuples run
+        # WGS84->local, and the standard inverse of a 7-param Helmert is
+        # the sign-flip of all seven parameters
+        vals = [float(v) for v in d["TOWGS84"].split(",")]
+        vals += [0.0] * (7 - len(vals))
+        helm = tuple(-v for v in vals)
+    if proj == "TMERC":
+        return "tm", (a, f, g("LAT_0"), g("LON_0"), g("K_0", g("K", 1.0)),
+                      g("X_0"), g("Y_0"), helm)
+    if proj == "MERC":
+        lat_ts = float(d["LAT_TS"]) if "LAT_TS" in d else None
+        k0 = g("K_0", g("K", 1.0)) if lat_ts is None else None
+        return "merc", (a, f, lat_ts, k0, g("LON_0"), g("X_0"), g("Y_0"))
+    if proj == "LCC":
+        lat1 = g("LAT_1", g("LAT_0"))
+        lat2 = g("LAT_2", lat1)
+        k0 = g("K_0", g("K", 1.0))
+        # LCC-1SP (EPSG 9801) with scale k0 == LCC-2SP with lat1=lat2 on a
+        # sphere/ellipsoid scaled by k0: every a in the LCC equations
+        # multiplies rho linearly, so a*k0 reproduces the k0 factor exactly
+        return "conic", ("lcc", a * k0, f, lat1, lat2, g("LAT_0", lat1),
+                         g("LON_0"), g("X_0"), g("Y_0"))
+    if proj == "AEA":
+        return "conic", ("albers", a, f, g("LAT_1"), g("LAT_2"),
+                         g("LAT_0"), g("LON_0"), g("X_0"), g("Y_0"))
+    if proj == "LAEA":
+        return "conic", ("laea", a, f, None, None, g("LAT_0"),
+                         g("LON_0"), g("X_0"), g("Y_0"))
+    if proj == "STERE":
+        lat0 = g("LAT_0")
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise ValueError(
+                "oblique stereographic not supported (only the polar "
+                "aspect, lat_0=+/-90)"
+            )
+        lat_ts = float(d["LAT_TS"]) if "LAT_TS" in d else None
+        k0 = g("K_0", g("K", 1.0)) if lat_ts is None else None
+        return "polar", (a, f, lat_ts, k0, g("LON_0"), g("X_0"), g("Y_0"),
+                         lat0 < 0.0)
+    if proj == "SINU":
+        return "sinu", (a, f, g("LON_0"), g("X_0"), g("Y_0"))
+    raise ValueError(
+        f"proj string projection {proj!r} not supported (supported: tmerc, "
+        "merc, lcc, aea, laea, stere polar aspect, sinu)"
+    )
+
+
+def _canon_projstr(c: str) -> str:
+    """Canonical form of a proj string: parse + re-emit with sorted keys
+    and %.17g floats so equivalent spellings compare equal."""
+    d = _parse_projstr(c)
+    if d is None:
+        return c
+    out = [f"+PROJ={d.pop('PROJ')}"]
+    for k in sorted(d):
+        v = d[k]
+        if v == "":
+            out.append(f"+{k}")
+            continue
+        try:
+            if "," in v:
+                v = ",".join("%.17g" % float(p) for p in v.split(","))
+            elif k not in ("ELLPS", "DATUM"):
+                v = "%.17g" % float(v)
+        except ValueError:
+            pass
+        out.append(f"+{k}={v}")
+    return "".join(out)
+
+
 def _to_lonlat(
     x: np.ndarray, y: np.ndarray, crs: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -570,6 +852,20 @@ def _to_lonlat(
         return _conic_to_lonlat(x, y, c)
     if c in _NAMED_POLAR:
         return _polar_to_lonlat(x, y, c)
+    if c in _NAMED_MERC:
+        return _merc_to_lonlat(x, y, c)
+    if c in _NAMED_SINU:
+        return _sinu_to_lonlat(x, y, c)
+    ps = _projstr_def(c)
+    if ps is not None:
+        fam, dfn = ps
+        return {
+            "tm": _named_tm_to_lonlat,
+            "conic": _conic_to_lonlat,
+            "polar": _polar_to_lonlat,
+            "merc": _merc_to_lonlat,
+            "sinu": _sinu_to_lonlat,
+        }[fam](x, y, dfn)
     raise _unsupported(crs)
 
 
@@ -604,18 +900,245 @@ def _from_lonlat(
         return _conic_from_lonlat(lon, lat, c)
     if c in _NAMED_POLAR:
         return _polar_from_lonlat(lon, lat, c)
+    if c in _NAMED_MERC:
+        return _merc_from_lonlat(lon, lat, c)
+    if c in _NAMED_SINU:
+        return _sinu_from_lonlat(lon, lat, c)
+    ps = _projstr_def(c)
+    if ps is not None:
+        fam, dfn = ps
+        return {
+            "tm": _named_tm_from_lonlat,
+            "conic": _conic_from_lonlat,
+            "polar": _polar_from_lonlat,
+            "merc": _merc_from_lonlat,
+            "sinu": _sinu_from_lonlat,
+        }[fam](lon, lat, dfn)
     raise _unsupported(crs)
 
 
 def _unsupported(crs: str) -> ValueError:
-    named = ", ".join(sorted(_NAMED_TM) + sorted(_NAMED_CONIC) + sorted(_NAMED_POLAR))
+    named = ", ".join(
+        sorted(_NAMED_TM) + sorted(_NAMED_CONIC) + sorted(_NAMED_POLAR)
+        + sorted(_NAMED_MERC) + sorted(_NAMED_SINU)
+    )
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
         f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "
-        "(Helmert-shifted TM / conic / azimuthal). Transform the features "
-        "to the raster CRS first (the reference transforms automatically "
-        "via PROJ, R/exact_extract.R:360-377)"
+        "(Helmert-shifted TM / conic / azimuthal / mercator / sinusoidal), "
+        "or a '+proj=tmerc|merc|lcc|aea|laea|stere|sinu ...' parameter "
+        "string. Transform the features to the raster CRS first (the "
+        "reference transforms automatically via PROJ, "
+        "R/exact_extract.R:360-377)"
     )
+
+
+# ---------------------------------------------------------------------------
+# WKT1 emission — real PROJECTION/PARAMETER nodes for every CRS this module
+# implements, so sinks (.prj sidecars) write files OGR/ArcGIS can parse.
+# ---------------------------------------------------------------------------
+
+_WKT_GEOGCS_WGS84 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+_WKT_GEOGCS_ETRS89 = (
+    'GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",'
+    'SPHEROID["GRS 1980",6378137,298.257222101,'
+    'AUTHORITY["EPSG","7019"]],AUTHORITY["EPSG","6258"]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+    'AUTHORITY["EPSG","4258"]]'
+)
+
+
+def _wkt_geogcs(a: float, f: float, name: str = "unknown") -> str:
+    generic = name not in ("unknown", "WGS 84", "GRS 1980")
+    if not generic and abs(a - _R) < 1e-6 and abs(f - _F) < 1e-15:
+        return _WKT_GEOGCS_WGS84
+    if not generic and abs(a - _R) < 1e-6 \
+            and abs(f - 1.0 / 298.257222101) < 1e-15:
+        return _WKT_GEOGCS_ETRS89
+    rf = "0" if f == 0.0 else "%.9f" % (1.0 / f)
+    return (
+        f'GEOGCS["{name}",DATUM["{name}",SPHEROID["{name}",%.4f,{rf}]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]' % a
+    )
+
+
+def _wkt_projcs(name, geogcs, projection, params, epsg=None) -> str:
+    body = ",".join(
+        f'PARAMETER["{k}",%.10g]' % v for k, v in params
+    )
+    auth = f',AUTHORITY["EPSG","{epsg}"]' if epsg else ""
+    return (
+        f'PROJCS["{name}",{geogcs},PROJECTION["{projection}"],{body},'
+        f'UNIT["metre",1,AUTHORITY["EPSG","9001"]]{auth}]'
+    )
+
+
+def crs_wkt(crs: str) -> "str | None":
+    """OGC WKT1 for a supported CRS, with real PROJECTION/PARAMETER nodes
+    (parseable by OGR/ArcGIS), or None when no faithful definition exists —
+    callers should then omit the .prj rather than write a misleading one."""
+    c = _norm(crs)
+    if c == "EPSG:4326":
+        return _WKT_GEOGCS_WGS84
+    if c == "EPSG:3857":
+        return _wkt_projcs(
+            "WGS 84 / Pseudo-Mercator", _WKT_GEOGCS_WGS84, "Mercator_1SP",
+            [("central_meridian", 0), ("scale_factor", 1),
+             ("false_easting", 0), ("false_northing", 0)], 3857,
+        )
+    utm = _utm_zone(c)
+    if utm is not None:
+        zone, south = utm
+        code = int(c.split(":")[1])
+        etrs = 25800 <= code <= 25899
+        geog = _WKT_GEOGCS_ETRS89 if etrs else _WKT_GEOGCS_WGS84
+        datum = "ETRS89" if etrs else "WGS 84"
+        return _wkt_projcs(
+            f"{datum} / UTM zone {zone}{'S' if south else 'N'}", geog,
+            "Transverse_Mercator",
+            [("latitude_of_origin", 0), ("central_meridian", -183 + 6 * zone),
+             ("scale_factor", 0.9996), ("false_easting", 500000),
+             ("false_northing", 10000000 if south else 0)], code,
+        )
+    epsg = int(c.split(":")[1]) if c.startswith("EPSG:") else None
+    if c in _NAMED_TM:
+        a, f, lat0, lon0, k0, fe, fn, helm = _NAMED_TM[c]
+        geog = _wkt_geogcs(a, f, "OSGB 1936" if c == "EPSG:27700" else
+                           "NZGD2000" if c == "EPSG:2193" else "unknown")
+        if any(helm):
+            # TOWGS84 runs local->WGS84: the negation of our WGS84->local
+            # params, inserted inside DATUM right after SPHEROID
+            towgs = ",".join("%.6g" % -v for v in helm)
+            geog = geog.replace(
+                "]],PRIMEM", f"],TOWGS84[{towgs}]],PRIMEM", 1
+            )
+        name = {"EPSG:27700": "OSGB36 / British National Grid",
+                "EPSG:2193": "NZGD2000 / New Zealand Transverse Mercator"}\
+            .get(c, c)
+        return _wkt_projcs(
+            name, geog, "Transverse_Mercator",
+            [("latitude_of_origin", lat0), ("central_meridian", lon0),
+             ("scale_factor", k0), ("false_easting", fe),
+             ("false_northing", fn)], epsg,
+        )
+    if c in _NAMED_CONIC:
+        kind, a, f, lat1, lat2, lat0, lon0, fe, fn = _NAMED_CONIC[c]
+        geog = _wkt_geogcs(a, f, "GRS 1980")
+        names = {"EPSG:2154": "RGF93 / Lambert-93",
+                 "EPSG:5070": "NAD83 / Conus Albers",
+                 "EPSG:3577": "GDA94 / Australian Albers",
+                 "EPSG:3035": "ETRS89-extended / LAEA Europe"}
+        if kind == "lcc":
+            return _wkt_projcs(
+                names.get(c, c), geog, "Lambert_Conformal_Conic_2SP",
+                [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
+                 ("latitude_of_origin", lat0), ("central_meridian", lon0),
+                 ("false_easting", fe), ("false_northing", fn)], epsg,
+            )
+        if kind == "albers":
+            return _wkt_projcs(
+                names.get(c, c), geog, "Albers_Conic_Equal_Area",
+                [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
+                 ("latitude_of_center", lat0), ("longitude_of_center", lon0),
+                 ("false_easting", fe), ("false_northing", fn)], epsg,
+            )
+        return _wkt_projcs(
+            names.get(c, c), geog, "Lambert_Azimuthal_Equal_Area",
+            [("latitude_of_center", lat0), ("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)], epsg,
+        )
+    if c in _NAMED_POLAR:
+        a, f, lat_ts, k0, lon0, fe, fn, south = _NAMED_POLAR[c]
+        geog = _wkt_geogcs(a, f)
+        params = [("latitude_of_origin",
+                   lat_ts if lat_ts is not None else (-90 if south else 90)),
+                  ("central_meridian", lon0),
+                  ("scale_factor", k0 if k0 is not None else 1.0),
+                  ("false_easting", fe), ("false_northing", fn)]
+        return _wkt_projcs(c, geog, "Polar_Stereographic", params, epsg)
+    if c in _NAMED_MERC:
+        a, f, lat_ts, k0, lon0, fe, fn = _NAMED_MERC[c]
+        return _wkt_projcs(
+            "WGS 84 / World Mercator", _wkt_geogcs(a, f), "Mercator_1SP",
+            [("central_meridian", lon0),
+             ("scale_factor", k0 if k0 is not None else 1.0),
+             ("false_easting", fe), ("false_northing", fn)], epsg,
+        )
+    if c in _NAMED_SINU:
+        a, f, lon0, fe, fn = _NAMED_SINU[c]
+        return _wkt_projcs(
+            "MODIS Sinusoidal" if c == "SR-ORG:6974" else "World_Sinusoidal",
+            _wkt_geogcs(a, f, "unnamed ellipse" if f == 0 else "WGS 84"),
+            "Sinusoidal",
+            [("longitude_of_center", lon0), ("false_easting", fe),
+             ("false_northing", fn)],
+        )
+    ps = None
+    try:
+        ps = _projstr_def(c)
+    except ValueError:
+        return None
+    if ps is not None:
+        fam, dfn = ps
+        if fam == "tm":
+            a, f, lat0, lon0, k0, fe, fn, _h = dfn
+            return _wkt_projcs(
+                "unnamed", _wkt_geogcs(a, f), "Transverse_Mercator",
+                [("latitude_of_origin", lat0), ("central_meridian", lon0),
+                 ("scale_factor", k0), ("false_easting", fe),
+                 ("false_northing", fn)],
+            )
+        if fam == "conic":
+            kind, a, f, lat1, lat2, lat0, lon0, fe, fn = dfn
+            proj, latk, lonk = {
+                "lcc": ("Lambert_Conformal_Conic_2SP", "latitude_of_origin",
+                        "central_meridian"),
+                "albers": ("Albers_Conic_Equal_Area", "latitude_of_center",
+                           "longitude_of_center"),
+                "laea": ("Lambert_Azimuthal_Equal_Area", "latitude_of_center",
+                         "longitude_of_center"),
+            }[kind]
+            params = []
+            if lat1 is not None:
+                params += [("standard_parallel_1", lat1),
+                           ("standard_parallel_2", lat2)]
+            params += [(latk, lat0), (lonk, lon0),
+                       ("false_easting", fe), ("false_northing", fn)]
+            return _wkt_projcs("unnamed", _wkt_geogcs(a, f), proj, params)
+        if fam == "polar":
+            a, f, lat_ts, k0, lon0, fe, fn, south = dfn
+            return _wkt_projcs(
+                "unnamed", _wkt_geogcs(a, f), "Polar_Stereographic",
+                [("latitude_of_origin",
+                  lat_ts if lat_ts is not None else (-90 if south else 90)),
+                 ("central_meridian", lon0),
+                 ("scale_factor", k0 if k0 is not None else 1.0),
+                 ("false_easting", fe), ("false_northing", fn)],
+            )
+        if fam == "merc":
+            a, f, lat_ts, k0, lon0, fe, fn = dfn
+            params = [("central_meridian", lon0)]
+            if lat_ts is not None:
+                params.append(("standard_parallel_1", lat_ts))
+            else:
+                params.append(("scale_factor", k0))
+            params += [("false_easting", fe), ("false_northing", fn)]
+            return _wkt_projcs("unnamed", _wkt_geogcs(a, f),
+                               "Mercator_1SP" if lat_ts is None
+                               else "Mercator_2SP", params)
+        if fam == "sinu":
+            a, f, lon0, fe, fn = dfn
+            return _wkt_projcs(
+                "unnamed", _wkt_geogcs(a, f), "Sinusoidal",
+                [("longitude_of_center", lon0), ("false_easting", fe),
+                 ("false_northing", fn)],
+            )
+    return None
 
 
 def transform_xy(
@@ -627,10 +1150,12 @@ def transform_xy(
     a, b = _norm(src), _norm(dst)
     if a == b:
         return x, y
-    if not _supported(a):
-        raise _unsupported(src)
-    if not _supported(b):
-        raise _unsupported(dst)
+    for norm_c, orig in ((a, src), (b, dst)):
+        if not _supported(norm_c):
+            # a proj string naming an unimplemented projection carries a
+            # specific message — surface it rather than the generic one
+            _projstr_def(norm_c)
+            raise _unsupported(orig)
     lon, lat = _to_lonlat(x, y, a)
     return _from_lonlat(lon, lat, b)
 

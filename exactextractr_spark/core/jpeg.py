@@ -147,10 +147,16 @@ def _upsample_axis(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     return np.moveaxis(out, 0, axis)
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, color_transform: bool | None = None) -> np.ndarray:
     """Decode a baseline or progressive JPEG. Returns float64 (h, w) for 1-component
     streams or (h, w, 3) RGB for 3-component (JFIF YCbCr) streams, values
-    in [0, 255]."""
+    in [0, 255].
+
+    ``color_transform``: apply the JFIF YCbCr->RGB transform to 3-component
+    streams. ``None`` (default) means the JFIF convention (always transform);
+    pass ``False`` for streams whose components are already RGB — e.g.
+    JPEG-in-TIFF chunks written with PhotometricInterpretation=2, where
+    libtiff stores raw RGB without the YCbCr step (TIFF 6.0 §22)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -208,6 +214,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"{nc}-component JPEG not supported (only grayscale and "
+                    "3-component streams; Adobe CMYK/YCCK is out of scope)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -232,7 +243,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     data[ent_start:], comps, scan_sel, qt, huff_dc, huff_ac,
-                    width, height, restart_interval,
+                    width, height, restart_interval, color_transform,
                 )
             segments, consumed = _destuff(data[ent_start:])
             scans.append(
@@ -253,14 +264,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         i += 2 + seg_len
     if progressive and scans:
         return _decode_progressive(
-            scans, comps, qt, width, height
+            scans, comps, qt, width, height, color_transform
         )
     raise ValueError("no SOS marker found (truncated JPEG)")
 
 
 def _decode_scan(
     ent: bytes, comps, scan_sel, qt, huff_dc, huff_ac, width, height,
-    restart_interval,
+    restart_interval, color_transform=None,
 ) -> np.ndarray:
     if comps is None or width is None:
         raise ValueError("SOS before SOF (malformed JPEG)")
@@ -339,10 +350,12 @@ def _decode_scan(
             .transpose(0, 2, 1, 3, 4)
             .reshape(bh, bw, 64)
         )
-    return _finish(grids, comps, qt, width, height, hmax, vmax)
+    return _finish(grids, comps, qt, width, height, hmax, vmax, color_transform)
 
 
-def _finish(grids, comps, qt, width, height, hmax, vmax) -> np.ndarray:
+def _finish(
+    grids, comps, qt, width, height, hmax, vmax, color_transform=None
+) -> np.ndarray:
     """Shared decode tail for baseline and progressive: dequantize +
     de-zigzag + one batched IDCT per component, plane assembly, chroma
     upsampling (factor-2 uses the triangular filter — libjpeg "fancy
@@ -369,6 +382,8 @@ def _finish(grids, comps, qt, width, height, hmax, vmax) -> np.ndarray:
         planes.append(plane[:height, :width])
     if len(planes) == 1:
         return np.clip(planes[0], 0.0, 255.0)
+    if color_transform is False:  # components are already RGB (TIFF RGB JPEG)
+        return np.clip(np.stack(planes, axis=-1), 0.0, 255.0)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -386,7 +401,9 @@ def _finish(grids, comps, qt, width, height, hmax, vmax) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
+def _decode_progressive(
+    scans, comps, qt, width, height, color_transform=None
+) -> np.ndarray:
     if comps is None or width is None:
         raise ValueError("SOS before SOF (malformed JPEG)")
     hmax = max(c[1] for c in comps)
@@ -424,7 +441,7 @@ def _decode_progressive(scans, comps, qt, width, height) -> np.ndarray:
                 segments, ri,
             )
 
-    return _finish(store, comps, qt, width, height, hmax, vmax)
+    return _finish(store, comps, qt, width, height, hmax, vmax, color_transform)
 
 
 def _prog_dc_scan(scan, comps, store, dims, mcus_x, mcus_y, ah, al,

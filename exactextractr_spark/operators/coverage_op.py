@@ -272,10 +272,12 @@ def coverage_fraction_raster(
         # crop=FALSE, so refuse feature sets where that product is a mistake
         # rather than silently launching it (the reference only ever does
         # this one feature at a time, R/coverage_fraction.R:17-79).
-        n_feats = features.count()
+        # limit-bounded guard job: we only need to know "more than 1000?",
+        # never the exact count — don't scan the full feature table.
+        n_feats = features.limit(1001).count()
         if n_feats > 1000:
             raise ValueError(
-                f"coverage_fraction(crop=False) with {n_feats} features "
+                "coverage_fraction(crop=False) with >1000 features "
                 "would emit a dense (feature x tile) product; use "
                 "crop=True (sparse) or restrict the feature set"
             )

@@ -156,22 +156,155 @@ def _read_ifd(f, index: int = 0) -> dict:
     return out
 
 
-def _epsg_from_geokeys(keys: tuple) -> str:
+#: ProjCoordTransGeoKey (3075) values -> proj-string projection names
+#: (GeoTIFF 1.1 spec annex; only families core/crs.py implements)
+_CT_PROJ = {
+    1: "tmerc",   # CT_TransverseMercator
+    7: "merc",    # CT_Mercator
+    8: "lcc",     # CT_LambertConfConic_2SP
+    9: "lcc",     # CT_LambertConfConic_1SP (Helmert)
+    10: "laea",   # CT_LambertAzimEqualArea
+    11: "aea",    # CT_AlbersEqualArea
+    15: "stere",  # CT_PolarStereographic
+    24: "sinu",   # CT_Sinusoidal
+}
+
+#: GeographicTypeGeoKey (2048) / GeogEllipsoidGeoKey (2056) -> ellipsoid
+_GEOG_ELLPS = {
+    4326: "WGS84", 4269: "GRS80", 4258: "GRS80", 4283: "GRS80",
+    4267: "clrk66", 4171: "GRS80", 4617: "GRS80",
+}
+_ELLIPSOID_ELLPS = {7030: "WGS84", 7019: "GRS80", 7008: "clrk66",
+                    7022: "intl"}
+
+
+def _epsg_from_geokeys(keys: tuple, doubles: tuple = ()) -> str:
     """GeoKeyDirectory: (ver, rev, minor, nkeys) then 4-tuples of
     (KeyID, TagLocation, Count, Value). EPSG from ProjectedCSType (3072)
-    if present, else GeographicType (2048)."""
+    if present, else GeographicType (2048). When the CRS is user-defined
+    (32767) but the file carries projection PARAMETERS
+    (ProjCoordTransGeoKey 3075 + Proj*GeoKeys in GeoDoubleParams), build a
+    proj-parameter string that core/crs.py evaluates closed-form — the
+    long tail of real files the reference handles via PROJ
+    (R/exact_extract.R:360-377)."""
     if not keys or len(keys) < 4:
         return ""
     nkeys = keys[3]
-    found: dict[int, int] = {}
+    found: dict[int, float] = {}
     for i in range(nkeys):
         kid, loc, cnt, val = keys[4 + 4 * i : 8 + 4 * i]
         if loc == 0:
             found[kid] = val
+        elif loc == 34736 and doubles and val + cnt <= len(doubles):
+            # value(s) live in the GeoDoubleParams tag; all the projection
+            # parameter keys are single doubles
+            found[kid] = doubles[val]
     code = found.get(3072) or found.get(2048)
     if code and code != 32767:  # 32767 == user-defined
-        return f"EPSG:{code}"
-    return ""
+        return f"EPSG:{int(code)}"
+    ct = found.get(3075)
+    proj = _CT_PROJ.get(int(ct)) if ct is not None else None
+    if proj is None:
+        return ""
+    parts = [f"+proj={proj}"]
+    # ellipsoid: explicit axes first, then ellipsoid code, then the
+    # geographic CRS code, default WGS84
+    if 2057 in found:  # GeogSemiMajorAxisGeoKey
+        parts.append("+a=%.17g" % found[2057])
+        if 2059 in found:  # GeogInvFlatteningGeoKey
+            if found[2059] > 0:
+                parts.append("+rf=%.17g" % found[2059])
+        elif 2058 in found:  # GeogSemiMinorAxisGeoKey
+            parts.append("+b=%.17g" % found[2058])
+    else:
+        ellps = _ELLIPSOID_ELLPS.get(int(found.get(2056, 0))) or \
+            _GEOG_ELLPS.get(int(found.get(2048, 0))) or "WGS84"
+        parts.append(f"+ellps={ellps}")
+    # parameter keys: natural origin (3080/3081) or false origin
+    # (3084/3085) or projection center (3088/3089) spellings all occur
+    lon0 = found.get(3080, found.get(3084, found.get(3088)))
+    lat0 = found.get(3081, found.get(3085, found.get(3089)))
+    if proj == "stere" and 3094 in found:  # straight vertical pole lon
+        lon0 = found[3094]
+    std1 = found.get(3078)  # ProjStdParallel1GeoKey
+    if proj == "stere" and (lat0 is None or abs(abs(lat0) - 90.0) > 1e-9):
+        # polar files sometimes carry only the standard parallel (in 3078,
+        # or as a non-polar NatOriginLat): the pole is implied by its
+        # hemisphere
+        if std1 is None and lat0 is not None:
+            std1 = lat0
+        if std1 is not None:
+            lat0 = 90.0 if std1 >= 0 else -90.0
+    if lon0 is not None:
+        parts.append("+lon_0=%.17g" % lon0)
+    if lat0 is not None:
+        parts.append("+lat_0=%.17g" % lat0)
+    if std1 is not None:
+        parts.append(
+            ("+lat_ts=%.17g" if proj in ("merc", "stere") else "+lat_1=%.17g")
+            % std1
+        )
+    if 3079 in found:
+        parts.append("+lat_2=%.17g" % found[3079])
+    k0 = found.get(3092, found.get(3093))  # scale at origin / center
+    if k0 is not None:
+        parts.append("+k_0=%.17g" % k0)
+    fe = found.get(3082, found.get(3086, 0.0))
+    fn = found.get(3083, found.get(3087, 0.0))
+    parts.append("+x_0=%.17g" % fe)
+    parts.append("+y_0=%.17g" % fn)
+    return " ".join(parts)
+
+
+def _geokeys_for_projstr(crs: str) -> "tuple[tuple, list[float]]":
+    """Inverse of the parameter branch of :func:`_epsg_from_geokeys`:
+    GeoKeyDirectory + GeoDoubleParams for a '+proj=...' CRS string, so
+    :func:`write_geotiff` can emit user-defined-CRS files that round-trip
+    through this reader (and through GDAL, which reads the same keys)."""
+    from ..core import crs as crs_mod
+
+    d = crs_mod._parse_projstr(crs_mod._norm(crs))
+    if d is None:
+        raise ValueError(f"not a proj parameter string: {crs!r}")
+    crs_mod._projstr_def(crs_mod._norm(crs))  # validate early, loud
+    proj = d["PROJ"]
+    ct = {"TMERC": 1, "MERC": 7, "LCC": 8, "LAEA": 10, "AEA": 11,
+          "STERE": 15, "SINU": 24}[proj]
+    a, f = crs_mod._projstr_ellipsoid(d)
+    doubles: list[float] = []
+    keys: "list[tuple[int, int, int, int]]" = [
+        (1024, 0, 1, 1),      # GTModelType: projected
+        (1025, 0, 1, 1),      # GTRasterType: PixelIsArea
+        (3072, 0, 1, 32767),  # ProjectedCSType: user-defined
+        (3074, 0, 1, 32767),  # Projection: user-defined
+        (3075, 0, 1, ct),     # ProjCoordTransGeoKey
+        (3076, 0, 1, 9001),   # ProjLinearUnits: metre
+    ]
+
+    def add_d(kid: int, val: float):
+        keys.append((kid, 34736, 1, len(doubles)))
+        doubles.append(float(val))
+
+    add_d(2057, a)  # semi-major; alone it means a sphere to this reader
+    if f > 0.0:
+        add_d(2059, 1.0 / f)
+    g = lambda k, dflt=0.0: float(d[k]) if k in d else dflt  # noqa: E731
+    add_d(3080, g("LON_0"))
+    add_d(3081, g("LAT_0"))
+    if "LAT_TS" in d:
+        add_d(3078, float(d["LAT_TS"]))
+    elif "LAT_1" in d:
+        add_d(3078, float(d["LAT_1"]))
+    if "LAT_2" in d:
+        add_d(3079, float(d["LAT_2"]))
+    if "K_0" in d or "K" in d:
+        add_d(3092, g("K_0", g("K", 1.0)))
+    add_d(3082, g("X_0"))
+    add_d(3083, g("Y_0"))
+    keys.sort()  # the GeoKey spec requires ascending key IDs
+    header = (1, 1, 0, len(keys))
+    flat = header + tuple(v for key in keys for v in key)
+    return flat, doubles
 
 
 def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
@@ -245,7 +378,7 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
         ymax=float(ymax),
         dx=float(dx),
         dy=float(dy),
-        crs=_epsg_from_geokeys(t.get(_T_GEO_KEYS, ())),
+        crs=_epsg_from_geokeys(t.get(_T_GEO_KEYS, ()), t.get(34736, ())),
         nodata=nodata,
         big_endian=(bo == ">"),
         planar=planar,
@@ -421,7 +554,11 @@ def _decode_chunk(
         data = raw
         if tables and len(tables) > 4 and raw[:2] == b"\xff\xd8":
             data = raw[:2] + tables[2:-2] + raw[2:]
-        px = decode_jpeg(data)
+        # photometric=2 means the 3 JPEG components are stored RGB (libtiff
+        # PHOTOMETRIC_RGB + COMPRESSION_JPEG): skip the JFIF YCbCr transform.
+        px = decode_jpeg(
+            data, color_transform=(info_dict.get("photometric") != 2)
+        )
         if px.ndim == 2:
             px = px[:, :, None]
         if info_dict["band"] >= px.shape[2]:
@@ -590,6 +727,7 @@ def read_geotiff(
         "nodata": info.nodata,
         "band": 0 if info.planar == 2 else band,
         "jpeg_tables": info.jpeg_tables,
+        "photometric": info.photometric,
     }
     strip_h = info.chunk_h
 
@@ -680,8 +818,10 @@ def write_geotiff(
         raise ValueError("compression must be 'none', 'deflate' or 'lzw'")
     dy = dx if dy is None else dy
 
-    # GeoKeys: geographic vs projected EPSG
+    # GeoKeys: geographic vs projected EPSG, or user-defined parameter
+    # keys for a '+proj=...' string
     epsg = None
+    geo_doubles: "list[float] | None" = None
     c = crs.strip().upper()
     if c.startswith("EPSG:"):
         try:
@@ -692,6 +832,8 @@ def write_geotiff(
         geokeys = (1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, epsg)
     elif epsg is not None:
         geokeys = (1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
+    elif "+PROJ=" in c.replace(" ", ""):
+        geokeys, geo_doubles = _geokeys_for_projstr(crs)
     else:
         geokeys = (1, 1, 0, 1, 1024, 0, 1, 0)
 
@@ -756,6 +898,8 @@ def write_geotiff(
             add(_T_PIXEL_SCALE, 12, [dx, dy, 0.0])
             add(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
             add(_T_GEO_KEYS, 3, list(geokeys))
+            if geo_doubles:
+                add(34736, 12, list(geo_doubles))  # GeoDoubleParams
         else:
             add(254, 4, [1])  # NewSubfileType: reduced-resolution image
         if nodata is not None:

@@ -183,7 +183,13 @@ def _parse_dbf(path: str) -> pd.DataFrame:
     for _ in range(nrec):
         rec = buf[pos : pos + rec_size]
         pos += rec_size
-        if not rec or rec[0:1] == b"*":
+        if not rec:
+            continue
+        if rec[0:1] == b"*":
+            # deleted record: keep a null placeholder so record-number
+            # indexing stays aligned with the .shp record sequence
+            for name, *_f in fields:
+                cols[name].append(None)
             continue
         off = 1
         for name, ftype, flen, fdec in fields:
@@ -196,7 +202,12 @@ def _parse_dbf(path: str) -> pd.DataFrame:
                 elif fdec or ftype == "F" or "." in txt:
                     cols[name].append(float(txt))
                 else:
-                    cols[name].append(int(txt))
+                    try:
+                        cols[name].append(int(txt))
+                    except ValueError:
+                        # some writers emit exponent notation ('1E+10') in
+                        # wide integer N fields — fall back to float
+                        cols[name].append(float(txt))
             elif ftype == "L":
                 cols[name].append(
                     True if txt in "YyTt" else False if txt in "NnFf" else None
@@ -439,23 +450,12 @@ def write_shapefile(
     open(path_base + ".dbf", "wb").write(bytes(out))
 
     if crs:
-        c = crs.upper()
-        if c == "EPSG:4326":
-            wkt = (
-                'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
-                '6378137,298.257223563]],PRIMEM["Greenwich",0],'
-                'UNIT["degree",0.0174532925199433],'
-                'AUTHORITY["EPSG","4326"]]'
-            )
-        elif c.startswith("EPSG:"):
-            code = c.split(":", 1)[1]
-            wkt = (
-                f'PROJCS["{c}",GEOGCS["WGS 84",DATUM["WGS_1984",'
-                'SPHEROID["WGS 84",6378137,298.257223563]],'
-                'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
-                f'UNIT["metre",1],AUTHORITY["EPSG","{code}"]]'
-            )
-        else:
-            wkt = None
+        # real WKT (PROJECTION/PARAMETER nodes) for every CRS the registry
+        # implements; for codes without a faithful definition the .prj is
+        # OMITTED — a structurally hollow PROJCS would misparse in
+        # OGR/ArcGIS and help no one
+        from ..core.crs import crs_wkt
+
+        wkt = crs_wkt(crs)
         if wkt:
             open(path_base + ".prj", "w").write(wkt)

@@ -1,0 +1,194 @@
+"""World Mercator (EPSG:3395), sinusoidal (MODIS grid / ESRI:54008) and
+the '+proj=...' parameterized-CRS family.
+
+Validation, none of it self-referential:
+1. Snyder PP1395's published Mercator ellipsoid worked example (Appendix,
+   Clarke 1866) reproduces to the 0.1 m precision it is printed at.
+2. EPSG Guidance Note 7-2's LCC-1SP worked example (Jamaica 1969 National
+   Grid) reproduces to the cm it is printed at — validating the a*k0
+   reduction of 1SP to the 2SP code path.
+3. The sinusoidal meridian-arc series (Snyder eq. 3-21/3-26) cross-checks
+   against the independent Krüger n^4 series already validated for UTM.
+4. Proj strings must be bit-compatible with their registry twins.
+
+The reference transforms any pair via PROJ (R/exact_extract.R:360-377).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+import exactextractr_spark.core.crs as crs
+from exactextractr_spark.core.crs import can_transform, crs_wkt, transform_xy
+
+_A_CLARKE, _E2_CLARKE = 6378206.4, 0.00676866
+_F_CLARKE = 1.0 - math.sqrt(1.0 - _E2_CLARKE)
+
+
+def test_snyder_mercator_worked_example():
+    # Snyder PP1395 Appendix, Mercator ellipsoid: Clarke 1866, lam0=-180,
+    # phi=35N lam=75W -> x=11,688,673.7  y=4,139,145.6
+    dfn = (_A_CLARKE, _F_CLARKE, None, 1.0, -180.0, 0.0, 0.0)
+    x, y = crs._merc_from_lonlat(np.array([-75.0]), np.array([35.0]), dfn)
+    assert x[0] == pytest.approx(11_688_673.7, abs=0.1)
+    assert y[0] == pytest.approx(4_139_145.6, abs=0.1)
+    lon, lat = crs._merc_to_lonlat(x, y, dfn)
+    assert lon[0] == pytest.approx(-75.0, abs=1e-9)
+    assert lat[0] == pytest.approx(35.0, abs=1e-9)
+
+
+def test_epsg3395_roundtrip_and_vs_3857():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat = rng.uniform(-80.0, 80.0, 2000)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:3395")
+    lo, la = transform_xy(x, y, "EPSG:3395", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    # same x as spherical web-mercator (identical a*lambda), smaller |y|
+    # (the ellipsoidal correction shrinks northings; ~0.7% at mid-lat)
+    x_sph, y_sph = transform_xy(lon, lat, "EPSG:4326", "EPSG:3857")
+    np.testing.assert_allclose(x, x_sph, atol=1e-6)
+    mid = np.abs(lat) > 10.0
+    assert np.all(np.abs(y[mid]) < np.abs(y_sph[mid]))
+
+
+def test_epsg_gn7_lcc_1sp_worked_example():
+    # EPSG GN 7-2, Lambert Conic Conformal 1SP example (Jamaica 1969
+    # National Grid): Clarke 1866, lat0=18N lon0=77W k0=1, FE=250000
+    # FN=150000; phi=17°55'55.80"N lam=76°56'37.26"W
+    # -> E=255,966.58  N=142,493.51
+    ps = ("+proj=lcc +lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 +y_0=150000 "
+          "+ellps=clrk66")
+    lat = 17.0 + 55.0 / 60.0 + 55.80 / 3600.0
+    lon = -(76.0 + 56.0 / 60.0 + 37.26 / 3600.0)
+    x, y = transform_xy(np.array([lon]), np.array([lat]), "EPSG:4326", ps)
+    assert x[0] == pytest.approx(255_966.58, abs=0.01)
+    assert y[0] == pytest.approx(142_493.51, abs=0.01)
+    lo, la = transform_xy(x, y, ps, "EPSG:4326")
+    assert lo[0] == pytest.approx(lon, abs=1e-9)
+    assert la[0] == pytest.approx(lat, abs=1e-9)
+
+
+def test_modis_sinusoidal_sphere():
+    # MODIS grid facts: sphere R=6371007.181; the grid's x half-extent is
+    # pi*R = 20,015,109.354 m (the published MODIS tile-grid extent)
+    R = 6371007.181
+    x, y = transform_xy(np.array([179.999999]), np.array([0.0]),
+                        "EPSG:4326", "MODIS")
+    assert x[0] == pytest.approx(math.pi * R, rel=1e-6)
+    assert y[0] == 0.0
+    # y is linear in latitude on the sphere: y(30N) = R*pi/6
+    _, y30 = transform_xy(np.array([0.0]), np.array([30.0]),
+                          "EPSG:4326", "SR-ORG:6974")
+    assert y30[0] == pytest.approx(R * math.pi / 6.0, rel=1e-12)
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat = rng.uniform(-89.0, 89.0, 2000)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "MODIS")
+    lo, la = transform_xy(x, y, "SR-ORG:6974", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_sinusoidal_ellipsoidal_roundtrip_and_meridian_arc():
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat = rng.uniform(-89.0, 89.0, 2000)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54008")
+    lo, la = transform_xy(x, y, "ESRI:54008", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+    # meridian-arc series vs the independent Krüger series: M(phi) equals
+    # the TM northing on the central meridian (sub-mm agreement)
+    phi = np.radians(np.linspace(-89.0, 89.0, 500))
+    M = crs._merid_arc(phi, crs._R, crs._F * (2.0 - crs._F))
+    _, an = crs._tm_forward(np.zeros(500), np.degrees(phi), 0.0)
+    assert np.abs(M - an).max() < 1e-3
+
+
+def test_sinusoidal_equal_area_jacobian():
+    # sinusoidal is equal-area: |J| must equal the ellipsoid area element
+    # a^2(1-e2)cos(phi)/(1-e2 sin^2 phi)^2 at random points
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-170.0, 170.0, 200)
+    lat = rng.uniform(-85.0, 85.0, 200)
+    h = 1e-6
+    dfn = crs._NAMED_SINU["ESRI:54008"]
+    a, f = dfn[0], dfn[1]
+    e2 = f * (2.0 - f)
+    xe, yn = crs._sinu_from_lonlat(lon + h, lat, dfn)
+    xw, yw = crs._sinu_from_lonlat(lon - h, lat, dfn)
+    xn, ynn = crs._sinu_from_lonlat(lon, lat + h, dfn)
+    xs, ys = crs._sinu_from_lonlat(lon, lat - h, dfn)
+    dxdl = (xe - xw) / (2 * h)
+    dydl = (yn - yw) / (2 * h)
+    dxdp = (xn - xs) / (2 * h)
+    dydp = (ynn - ys) / (2 * h)
+    J = np.abs(dxdl * dydp - dxdp * dydl) * (180.0 / math.pi) ** 2
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    area_elem = a * a * (1.0 - e2) * np.cos(phi) / (1.0 - e2 * s * s) ** 2
+    np.testing.assert_allclose(J, area_elem, rtol=1e-4)
+
+
+def test_projstr_matches_registry_twins():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(6.0, 18.0, 500)
+    lat = rng.uniform(-80.0, 84.0, 500)
+    ps_utm = ("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 "
+              "+y_0=0 +ellps=WGS84")
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:32633")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", ps_utm)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    lonf = rng.uniform(-4.0, 8.0, 300)
+    latf = rng.uniform(42.0, 50.0, 300)
+    ps_lcc = ("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+              "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    x1, y1 = transform_xy(lonf, latf, "EPSG:4326", "EPSG:2154")
+    x2, y2 = transform_xy(lonf, latf, "EPSG:4326", ps_lcc)
+    np.testing.assert_array_equal(x2, x1)
+    np.testing.assert_array_equal(y2, y1)
+
+    lonp = rng.uniform(-180.0, 180.0, 300)
+    latp = rng.uniform(60.0, 89.0, 300)
+    ps_ps = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    x1, y1 = transform_xy(lonp, latp, "EPSG:4326", "EPSG:3413")
+    x2, y2 = transform_xy(lonp, latp, "EPSG:4326", ps_ps)
+    np.testing.assert_array_equal(x2, x1)
+    np.testing.assert_array_equal(y2, y1)
+
+
+def test_projstr_canonicalization_and_support():
+    a = "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80"
+    b = "+ellps=GRS80 +y_0=6.6e6 +x_0=700000.0 +lon_0=3 +lat_0=46.5 +lat_2=49 +lat_1=44 +proj=lcc"
+    assert crs._norm(a) == crs._norm(b)
+    assert can_transform(a, "EPSG:4326")
+    assert can_transform("EPSG:3395", "MODIS")
+    # oblique stereographic stays a loud error
+    with pytest.raises(ValueError, match="polar"):
+        transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326",
+                     "+proj=stere +lat_0=52 +lon_0=5")
+    with pytest.raises(ValueError, match="not supported"):
+        transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326", "+proj=omerc")
+
+
+def test_crs_wkt_real_parameters():
+    # every registry CRS emits WKT with real PROJECTION/PARAMETER nodes
+    # (or a GEOGCS for 4326); brackets balance; unknown codes emit None
+    for code in ["EPSG:3857", "EPSG:32633", "EPSG:27700", "EPSG:2154",
+                 "EPSG:5070", "EPSG:3035", "EPSG:3413", "EPSG:3395",
+                 "MODIS", "ESRI:54008"]:
+        w = crs_wkt(code)
+        assert w is not None and w.count("[") == w.count("]")
+        assert "PROJECTION[" in w and "PARAMETER[" in w, code
+    w4326 = crs_wkt("EPSG:4326")
+    assert w4326.startswith('GEOGCS["WGS 84"')
+    assert crs_wkt("EPSG:99999") is None
+    # the OSGB definition carries the published TOWGS84 (local->WGS84)
+    assert "TOWGS84[446.448,-125.157,542.06" in crs_wkt("EPSG:27700")

@@ -929,3 +929,83 @@ def test_palette_rgb_helper():
     for i in range(16):
         assert tuple(pal[i]) == ((i * 16) & 255, (255 - i * 16) & 255,
                                  (i * 8 + 64) & 255), i
+
+
+def test_jpeg_in_tiff_rgb_photometric_skips_color_transform(spark, tmp_path):
+    """PhotometricInterpretation=2 + JPEG compression means the three JPEG
+    components are stored RGB (libtiff PHOTOMETRIC_RGB): the JFIF
+    YCbCr->RGB transform must NOT be applied. Fabricated by patching the
+    photometric tag of the pinned YCbCr fixture — band 0 of the patched
+    file must equal the raw first component plane of each strip's JPEG
+    stream, not the color-transformed red channel."""
+    import shutil
+    import struct as _s
+
+    from exactextractr_spark.core.jpeg import decode_jpeg as _dj
+    from exactextractr_spark.sources.geotiff import read_geotiff, read_tiff_info
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    src = os.path.join(fix, "jdk_tiff_jpegrgb.tif")
+    dst = str(tmp_path / "rgbjpeg.tif")
+    shutil.copy(src, dst)
+    buf = bytearray(open(dst, "rb").read())
+    bo = "<" if buf[:2] == b"II" else ">"
+    ifd_off = _s.unpack(bo + "I", buf[4:8])[0]
+    n = _s.unpack(bo + "H", buf[ifd_off : ifd_off + 2])[0]
+    patched = False
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if _s.unpack(bo + "H", buf[e : e + 2])[0] == 262:
+            buf[e + 8 : e + 12] = _s.pack(bo + "HH", 2, 0)
+            patched = True
+    assert patched
+    open(dst, "wb").write(bytes(buf))
+
+    info = read_tiff_info(dst)
+    assert info.photometric == 2 and info.compression == 7
+    got = _collect_array(read_geotiff(spark, dst, band=0))
+
+    # expected: raw component plane 0 of each strip's (table-spliced) JPEG
+    raw = open(src, "rb").read()
+    rows = []
+    for off, cnt in zip(info.offsets, info.counts):
+        chunk = raw[off : off + cnt]
+        if info.jpeg_tables and len(info.jpeg_tables) > 4:
+            chunk = chunk[:2] + info.jpeg_tables[2:-2] + chunk[2:]
+        rows.append(_dj(chunk, color_transform=False)[..., 0])
+    want = np.concatenate(rows, axis=0)[: info.height, : info.width]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_geokey_parameter_crs_fallback(tmp_path):
+    """A GeoTIFF whose GeoKeys carry ProjCoordTransGeoKey + projection
+    PARAMETERS (user-defined CRS, no EPSG code) must resolve to a working
+    transform — the same numbers as its EPSG-coded twin (the reference
+    gets this via PROJ, R/exact_extract.R:360-377)."""
+    from exactextractr_spark.core import crs as crs_mod
+    from exactextractr_spark.sources.geotiff import read_tiff_info, write_geotiff
+
+    cases = [
+        ("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+         "+x_0=700000 +y_0=6600000 +ellps=GRS80", "EPSG:2154",
+         (-4.0, 8.0, 42.0, 50.0)),
+        ("+proj=tmerc +lat_0=0 +lon_0=15 +k_0=0.9996 +x_0=500000 +y_0=0 "
+         "+ellps=WGS84", "EPSG:32633", (9.0, 21.0, -75.0, 80.0)),
+        ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+         "+ellps=WGS84", "EPSG:3413", (-180.0, 180.0, 60.0, 89.0)),
+        ("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181", "MODIS",
+         (-179.0, 179.0, -85.0, 85.0)),
+    ]
+    rng = np.random.default_rng(23)
+    arr = np.zeros((4, 4))
+    for i, (ps, epsg_twin, (lo0, lo1, la0, la1)) in enumerate(cases):
+        p = str(tmp_path / f"param{i}.tif")
+        write_geotiff(p, arr, xmin=0.0, ymax=4.0, dx=1.0, crs=ps)
+        back = read_tiff_info(p).crs
+        assert "+proj=" in back, back  # parameter string, not an EPSG code
+        lon = rng.uniform(lo0, lo1, 200)
+        lat = rng.uniform(la0, la1, 200)
+        x1, y1 = crs_mod.transform_xy(lon, lat, "EPSG:4326", epsg_twin)
+        x2, y2 = crs_mod.transform_xy(lon, lat, "EPSG:4326", back)
+        np.testing.assert_allclose(x2, x1, atol=1e-6)
+        np.testing.assert_allclose(y2, y1, atol=1e-6)

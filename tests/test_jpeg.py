@@ -136,3 +136,38 @@ def test_progressive_restart_intervals():
     )
     assert got.shape == (48, 80, 3)
     assert _psnr(got, _raw("jdk_prog_rst.dec", 48, 80, 3)) >= 50.0
+
+
+def test_four_component_rejected():
+    # Adobe CMYK/YCCK (4-component SOF) must fail loudly at parse time,
+    # not crash deep in the decode tail
+    sof = (b"\xff\xd8\xff\xc0" + (8 + 3 * 4 + 1).to_bytes(2, "big")
+           + b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+           + b"\x04"
+           + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00")
+    with pytest.raises(ValueError, match="4-component"):
+        decode_jpeg(sof)
+
+
+def test_color_transform_flag_linear_relation():
+    # decode(color_transform=False) must return the raw component planes;
+    # applying the JFIF YCbCr->RGB matrix to them reproduces the default
+    # decode exactly (same dequant/IDCT path, transform is the only delta)
+    data = open(os.path.join(FIX, "jdk_rgb_smooth.jpg"), "rb").read()
+    rgb = decode_jpeg(data)
+    ycc = decode_jpeg(data, color_transform=False)
+    assert ycc.shape == rgb.shape
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    manual = np.clip(
+        np.stack(
+            [y + 1.402 * cr,
+             y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb], axis=-1),
+        0.0, 255.0,
+    )
+    np.testing.assert_array_equal(manual, rgb)
+    # grayscale is unaffected by the flag
+    g = open(os.path.join(FIX, "jdk_gray.jpg"), "rb").read()
+    np.testing.assert_array_equal(
+        decode_jpeg(g), decode_jpeg(g, color_transform=False)
+    )

@@ -300,3 +300,80 @@ def test_cli_shp_sink(spark, tmp_path):
     feats, attrs = read_shapefile(spark, out, id_col="FID", keep_cols=["m"])
     assert feats.count() == 1
     assert attrs.collect()[0]["m"] == pytest.approx(5.0)
+
+
+def _make_dbf(fields, rows):
+    """Hand-built dBASE III file: fields = [(name, type, len, dec)],
+    rows = list of (deleted: bool, [raw field strings])."""
+    import struct as _s
+
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(f[2] for f in fields)
+    out = bytearray(
+        bytes([3, 96, 1, 1]) + _s.pack("<IHH", len(rows), hdr_size, rec_size)
+        + b"\x00" * 20
+    )
+    for name, ftype, flen, fdec in fields:
+        out += (name.encode().ljust(11, b"\x00") + ftype.encode()
+                + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14)
+    out += b"\x0d"
+    for deleted, vals in rows:
+        out += b"*" if deleted else b" "
+        for (name, ftype, flen, fdec), v in zip(fields, vals):
+            out += v.rjust(flen)[:flen].encode()
+    out += b"\x1a"
+    return bytes(out)
+
+
+def test_dbf_exponent_notation_and_deleted_rows(tmp_path):
+    """Wide N fields some writers fill with exponent notation ('1E+10')
+    must parse (as float), and deleted records must stay as null
+    placeholders so record-number alignment with the .shp holds."""
+    from exactextractr_spark.sources.shapefile import _parse_dbf
+
+    fields = [("BIGNUM", "N", 18, 0), ("PLAIN", "N", 8, 0)]
+    rows = [
+        (False, ["1E+10", "7"]),
+        (True, ["999", "999"]),          # deleted
+        (False, ["12345", "8"]),
+    ]
+    p = str(tmp_path / "t.dbf")
+    open(p, "wb").write(_make_dbf(fields, rows))
+    df = _parse_dbf(p)
+    assert len(df) == 3                   # deleted row kept as placeholder
+    assert df["BIGNUM"][0] == 1e10        # exponent fallback -> float
+    assert df["PLAIN"][0] == 7
+    assert df["BIGNUM"][1] is None or df["BIGNUM"][1] != df["BIGNUM"][1]
+    assert df["BIGNUM"][2] == 12345
+
+
+def test_prj_real_wkt_roundtrip(spark, tmp_path):
+    """The sink's .prj now carries real PROJECTION/PARAMETER WKT; our own
+    AUTHORITY-based reader recovers the EPSG code, and the WKT contains
+    the actual projection parameters (not a hollow PROJCS)."""
+    import pandas as pd
+
+    from exactextractr_spark.sources.shapefile import (
+        _crs_from_prj,
+        write_shapefile,
+    )
+
+    import os
+
+    from exactextractr_spark.sources.shapefile import _parse_shp
+
+    base = str(tmp_path / "utm")
+    attrs = pd.DataFrame({"feature_id": [1]})
+    _write_shp(base, [[_cw(SQ)]])
+    geoms = {rn: wkb for rn, wkb in _parse_shp(base + ".shp")}
+    out = str(tmp_path / "out")
+    write_shapefile(out, attrs, geoms, crs="EPSG:32633")
+    wkt = open(out + ".prj").read()
+    assert 'PROJECTION["Transverse_Mercator"]' in wkt
+    assert 'PARAMETER["central_meridian",15]' in wkt
+    assert 'PARAMETER["scale_factor",0.9996]' in wkt
+    assert _crs_from_prj(out + ".prj") == "EPSG:32633"
+    # a CRS with no faithful WKT definition omits the .prj entirely
+    out2 = str(tmp_path / "none")
+    write_shapefile(out2, attrs, geoms, crs="EPSG:99999")
+    assert not os.path.exists(out2 + ".prj")

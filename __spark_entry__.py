@@ -338,7 +338,11 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (hash family not expressible in SQL)."""
+    """Bit-exact oracle: the FNV-1a token hash + mod-2^64 shingle rolling +
+    multiply-shift family are all re-derived in DuckDB SQL
+    (:func:`_minhash_dedup_oracle`); banding compares band slices by
+    equality where Spark buckets by murmur hash — identical decisions
+    absent a 32-bit hash collision between non-equal slices."""
     _tune(spark)
     from exactextractr_spark.operators.dedup import minhash_dedup
 
@@ -347,8 +351,21 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash signatures, bit-exact vs the DuckDB re-derivation of
+    the full hash pipeline."""
+    _tune(spark)
+    from exactextractr_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(docs, num_hashes=32, seed=42).select(
+        "doc_id", "sig"
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (FNV bit-mixing not expressible in SQL)."""
+    """Bit-exact oracle: FNV-1a token hashes and the 64-bit sign-sum are
+    re-derived in DuckDB SQL (:data:`_SIMHASH_ORACLE`)."""
     _tune(spark)
     from exactextractr_spark.operators.dedup import simhash64
 
@@ -756,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_sigs": _q_minhash_sigs,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "zonal_area_weighted": _q_zonal_area_weighted,
@@ -776,6 +794,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": _q_line_stats,
         "image_resize_px": _q_image_resize_px,
     }
+
+
+# --------------------------------------------------------------------------
+# MinHash / SimHash DuckDB oracles. The engine's token hash is FNV-1a over
+# the token bytes (chosen precisely so an independent SQL oracle can verify
+# the whole pipeline bit-exactly); shingle rolling and the multiply-shift
+# family are wraparound mod-2^64 arithmetic, expressed in HUGEINT-safe SQL
+# via 32-bit-split modular multiplies. ASCII corpora only (the synthetic
+# documents table is ASCII): DuckDB tokenizes code points, the engine
+# tokenizes utf-8 bytes — identical below 0x80.
+# --------------------------------------------------------------------------
+
+_M64 = 1 << 64
+
+
+def _sql_modmul(a_expr: str, g_expr: str) -> str:
+    """(a * g) mod 2^64 without overflowing HUGEINT: split g into 32-bit
+    halves; a*lo < 2^96 and (a%2^32)*hi < 2^64 both fit."""
+    return (
+        f"(((({a_expr} % 4294967296)::HUGEINT * (({g_expr}) >> 32)) "
+        f"% 4294967296) * 4294967296 "
+        f"+ ({a_expr}::HUGEINT * (({g_expr}) & 4294967295))) % {_M64}"
+    )
+
+
+_SQL_FNV_TOKENS = (
+    "list_transform("
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
+    "t -> t <> ''), "
+    "tok -> list_reduce("
+    "list_prepend(14695981039346656037::UBIGINT, "
+    "list_transform(string_split(tok, ''), c -> unicode(c)::UBIGINT)), "
+    "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211) "
+    f"% {_M64})::UBIGINT))"
+)
+
+
+def _minhash_oracle_cte(num_hashes: int, bands: int, seed: int) -> str:
+    """CTEs th -> grams -> gflat -> mins -> sigs reproducing
+    minhash_signatures (shingle_k=3) bit-exactly."""
+    from exactextractr_spark.operators.dedup import _POLY_P, _minhash_params
+
+    a, b = _minhash_params(num_hashes, seed)
+    params_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
+    p = int(_POLY_P)
+
+    def roll2(h0: str, h1: str) -> str:
+        return f"(({_sql_modmul(str(p), h0)} + {h1}) % {_M64})::UBIGINT"
+
+    def roll3(h0: str, h1: str, h2: str) -> str:
+        return f"(({_sql_modmul(str(p), roll2(h0, h1))} + {h2}) % {_M64})::UBIGINT"
+
+    return f"""
+WITH th AS (
+  SELECT doc_id, {_SQL_FNV_TOKENS} AS hs FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN [14695981039346656037::UBIGINT]
+      WHEN len(hs) = 1 THEN [hs[1]]
+      WHEN len(hs) = 2 THEN [{roll2('hs[1]', 'hs[2]')}]
+      ELSE list_distinct(list_transform(range(1, len(hs) - 1),
+             i -> {roll3('hs[i]', 'hs[i+1]', 'hs[i+2]')}))
+    END AS gs
+  FROM th
+),
+gflat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+mins AS (
+  SELECT doc_id, p.i,
+         min((({_sql_modmul('p.a', 'g')} + p.b) % {_M64})::UBIGINT) AS m
+  FROM gflat, (VALUES {params_rows}) p(i, a, b)
+  GROUP BY doc_id, p.i
+),
+sigs AS (
+  SELECT doc_id, array_agg(m ORDER BY i) AS sig FROM mins GROUP BY doc_id
+)"""
+
+
+def _minhash_dedup_oracle(num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.8, seed: int = 42) -> str:
+    rows_per_band = num_hashes // bands
+    return _minhash_oracle_cte(num_hashes, bands, seed) + f""",
+bands AS (
+  SELECT doc_id, b.b,
+         list_slice(sig, b.b * {rows_per_band} + 1,
+                    (b.b + 1) * {rows_per_band}) AS sl
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.sl = r.sl AND l.doc_id < r.doc_id
+),
+losers AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+              JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(range(1, {num_hashes} + 1),
+                        j -> sa.sig[j] = sb.sig[j]))
+        / {float(num_hashes)} >= {threshold}
+)
+SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
+"""
+
+
+def _minhash_sigs_oracle(num_hashes: int = 32, seed: int = 42) -> str:
+    return _minhash_oracle_cte(num_hashes, 1, seed) + f"""
+SELECT doc_id, list_transform(sig, v ->
+  CASE WHEN v >= 9223372036854775808::UBIGINT
+       THEN (v::HUGEINT - {_M64})::BIGINT ELSE v::BIGINT END) AS sig
+FROM sigs
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_FNV_TOKENS}) AS h FROM documents
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks, (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << bit) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1210,7 +1366,9 @@ SELECT doc_id,
          (h, c) -> (h * 31 + c) % 1000000007) AS fp64
 FROM documents
 """,
-        # minhash_dedup / simhash / lsh_cosine / image_features_png:
-        # rows-only (hash families, bit mixing, and PNG decode are not
-        # expressible portably in SQL)
+        "minhash_dedup": _minhash_dedup_oracle(),
+        "minhash_sigs": _minhash_sigs_oracle(),
+        "simhash": _SIMHASH_ORACLE,
+        # lsh_cosine / image_features_png: rows-only (random-hyperplane
+        # bucketing and PNG decode are not expressible portably in SQL)
     }

@@ -6,12 +6,21 @@ the standard shingle → signature → band-bucket → bucket-join → verify sh
 with deterministic hash families so runs are reproducible.
 
 Kernel design (100-TB shape): all per-document work is vectorized numpy —
-string hashing goes through ``pandas.util.hash_array`` (C-implemented
-SipHash with a fixed key, deterministic across executors), shingles are
-combined from token hashes with wraparound uint64 polynomial rolling (no
-gram strings are ever materialized), and MinHash/SimHash reduce the whole
-Arrow batch at once via ``np.minimum.reduceat`` / ``np.add.reduceat``.
-The only per-row Python is the bytes.translate tokenizer.
+token hashing is FNV-1a over the token bytes, folded column-wise across
+the whole batch's token matrix (one vectorized pass per token-length
+position, so cost is O(max_token_len) numpy ops per batch, not per token);
+shingles are combined from token hashes with wraparound uint64 polynomial
+rolling (no gram strings are ever materialized), and MinHash/SimHash
+reduce the whole Arrow batch at once via ``np.minimum.reduceat`` /
+``np.add.reduceat``. The only per-row Python is the bytes.translate
+tokenizer.
+
+FNV-1a (public domain, Fowler–Noll–Vo) was chosen over pandas'
+SipHash-based ``hash_array`` deliberately: it is expressible in plain
+64-bit SQL (DuckDB ``list_reduce`` + HUGEINT modular multiply), which
+makes the whole MinHash/SimHash pipeline verifiable bit-exactly by an
+independent SQL oracle — the driver's correctness gate — instead of a
+rows-only check.
 """
 
 from __future__ import annotations
@@ -28,8 +37,7 @@ from pyspark.sql import types as T
 # maps every non-[a-z0-9_] ASCII byte to space, then split. ~2.5x faster
 # than re.findall(r"\w+", text.lower()) and token-equivalent for ASCII text
 # (utf-8 continuation bytes pass through as token characters). Tokens stay
-# as bytes — they only feed pandas hash_array, which hashes bytes and str
-# identically, so signatures are unchanged.
+# as bytes — FNV-1a hashes their raw bytes.
 _BTRANS = bytes(
     (ord(" ") if not (chr(c).isalnum() or chr(c) == "_") else
      (c + 32 if 65 <= c <= 90 else c)) if c < 128 else c
@@ -44,6 +52,32 @@ def _tokenize(text: str) -> "list[bytes]":
 # Wraparound-uint64 polynomial base for combining token hashes into shingle
 # hashes (odd constant => bijective multiply mod 2^64).
 _POLY_P = np.uint64(0x9E3779B97F4A7C15)
+
+# FNV-1a 64-bit constants (Fowler–Noll–Vo, public domain)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_batch(tokens: "list[bytes]") -> np.ndarray:
+    """FNV-1a of every byte token, vectorized: fold column j of the ragged
+    token matrix for all tokens at least j+1 bytes long in one numpy op.
+    Cost is O(max_token_len) vector passes per batch. Empty bytes hash to
+    the offset basis, matching the scalar definition."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return h
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    for j in range(int(lens.max())):
+        m = lens > j
+        h[m] = (h[m] ^ flat[starts[m] + j]) * _FNV_PRIME
+    return h
 
 
 def exact_dedup(
@@ -77,11 +111,7 @@ def _batch_token_hashes(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
     offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     flat = [tok for toks in tok_lists for tok in toks]
-    if flat:
-        hashes = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
-    else:
-        hashes = np.empty(0, dtype=np.uint64)
-    return hashes, offsets
+    return _fnv1a_batch(flat), offsets
 
 
 def _doc_shingle_hashes(h: np.ndarray, k: int) -> np.ndarray:
@@ -89,8 +119,8 @@ def _doc_shingle_hashes(h: np.ndarray, k: int) -> np.ndarray:
     wraparound polynomial rolling — no gram strings built."""
     n = h.shape[0]
     if n == 0:
-        return np.array([pd.util.hash_array(np.asarray([""], dtype=object),
-                                            categorize=False)[0]], dtype=np.uint64)
+        # tokenless doc: single sentinel gram = FNV-1a of the empty string
+        return np.array([_FNV_OFFSET], dtype=np.uint64)
     if n < k:
         k = n
     g = h[: n - k + 1].copy()
@@ -111,8 +141,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig:array<long>) MinHash signatures.
 
-    Vectorized per Arrow batch: one ``pd.util.hash_array`` call hashes every
-    token in the batch; shingle hashes are polynomial-rolled from token
+    Vectorized per Arrow batch: FNV-1a column-folding hashes every token
+    in the batch; shingle hashes are polynomial-rolled from token
     hashes; the (num_hashes × total_shingles) multiply-shift matrix is
     reduced per-doc with ``np.minimum.reduceat``. Signatures are the raw
     64-bit values reinterpreted as int64 (bit-preserving ``view``), since
@@ -326,8 +356,13 @@ def ngram_jaccard_pairs(
     # grams feeds three consumers (both self-join sides + sizes); one
     # materialization after the df-filter measured fastest (storing the raw
     # gram table too doubles the cache-store cost for no win at any scale
-    # tested). localCheckpoint: blocks released on GC, no cache leak.
-    grams = grams.localCheckpoint(eager=True)
+    # tested). persist() deliberately, NOT localCheckpoint: the columnar
+    # in-memory cache re-scans ~1.2x faster than java-row-serialized
+    # checkpoint blocks on this million-row string table (round-5
+    # same-window A/B: 2.80 s vs 3.32 s at sf0.1) — the round-4 regression.
+    # Cost: a CacheManager entry per call; long-lived sessions running many
+    # dedup jobs should spark.catalog.clearCache() between jobs.
+    grams = grams.persist()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("a")

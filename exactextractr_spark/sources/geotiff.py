@@ -799,13 +799,23 @@ def write_geotiff(
     compression: str = "deflate",
     rows_per_strip: int = 64,
     overviews: "list[np.ndarray] | None" = None,
+    tile_size: int | None = None,
+    bigtiff: "bool | None" = None,
 ) -> None:
-    """Write a single-band GeoTIFF (little-endian classic TIFF, strip
-    layout, deflate/LZW or uncompressed) — the raster-sink analog of the
+    """Write a single-band GeoTIFF (little-endian, strip or tile layout,
+    deflate/LZW or uncompressed) — the raster-sink analog of the
     reference CLI's GDAL writer (``gdal_writer.h:25-54``). NaNs are
     written as ``nodata`` when given (and the GDAL nodata tag is set).
     ``overviews`` appends decimated levels as a next-IFD chain (the COG
     overview shape, readable back via ``read_geotiff(overview=N)``).
+
+    ``tile_size`` switches to the tiled layout (tags 322-325, square
+    tiles, edge tiles padded — the COG interior shape; must be a multiple
+    of 16 per TIFF 6.0 §15). ``bigtiff`` forces the BigTIFF container
+    (version 43, 8-byte offsets); the default ``None`` auto-selects it
+    when the uncompressed payload could push offsets past the classic
+    4-byte limit, so a >4 GiB resample output writes correctly instead of
+    silently wrapping offsets.
 
     Driver-side by design: the natural inputs are ``exact_resample`` /
     ``rasterize_polygons`` destination grids, which are small relative to
@@ -816,7 +826,22 @@ def write_geotiff(
     comp_code = {"none": 1, "deflate": 8, "lzw": 5}.get(compression)
     if comp_code is None:
         raise ValueError("compression must be 'none', 'deflate' or 'lzw'")
+    if tile_size is not None and (tile_size <= 0 or tile_size % 16):
+        raise ValueError("tile_size must be a positive multiple of 16")
     dy = dx if dy is None else dy
+
+    if bigtiff is None:
+        # worst-case payload estimate from shapes alone (compression can
+        # only shrink; 'none' is exact): classic offsets die at 4 GiB
+        def _est(a) -> int:
+            if isinstance(a, tuple):
+                _it, h, w, np_dtype = a
+                return h * w * np.dtype(np_dtype).itemsize
+            a = np.asarray(a)
+            return a.nbytes
+
+        est = _est(arr) + sum(_est(o) for o in (overviews or []))
+        bigtiff = est > (0xFFFFFFFF - (64 << 10))
 
     # GeoKeys: geographic vs projected EPSG, or user-defined parameter
     # keys for a '+proj=...' string
@@ -837,8 +862,15 @@ def write_geotiff(
     else:
         geokeys = (1, 1, 0, 1, 1024, 0, 1, 0)
 
-    type_fmt = {3: "H", 4: "I", 12: "d"}
-    header_sz, inline = 8, 4
+    type_fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}
+    # container geometry: classic (42) vs BigTIFF (43) — the reader
+    # handles both (read_tiff_info magic branch)
+    if bigtiff:
+        header_sz, inline, off_fmt, ifd_n_fmt = 16, 8, "Q", "Q"
+        off_type = 16  # LONG8
+    else:
+        header_sz, inline, off_fmt, ifd_n_fmt = 8, 4, "I", "H"
+        off_type = 4  # LONG
     base_w, base_h = None, None
 
     def _prep_strip(s: np.ndarray) -> bytes:
@@ -866,6 +898,11 @@ def write_geotiff(
         compressed bytes accumulate, never the dense image."""
         nonlocal base_w, base_h
         if isinstance(a, tuple):
+            if tile_size is not None:
+                raise ValueError(
+                    "tile layout requires a dense array (the lazy strip "
+                    "source streams row bands)"
+                )
             strip_iter, h, w, np_dtype = a
             bps, fmt = _tiff_dtype_tags(np.empty(0, dtype=np_dtype))
             chunks = [_prep_strip(s) for s in strip_iter]
@@ -875,22 +912,43 @@ def write_geotiff(
                 raise ValueError("write_geotiff takes 2-D single-band arrays")
             bps, fmt = _tiff_dtype_tags(a)
             h, w = a.shape
-            chunks = [
-                _prep_strip(a[r0 : r0 + rows_per_strip])
-                for r0 in range(0, h, rows_per_strip)
-            ]
+            if tile_size is not None:
+                # full (ts, ts) chunks row-major; edge tiles padded (the
+                # reader decodes the full chunk and crops)
+                ts = tile_size
+                pad = nodata if nodata is not None else 0
+                chunks = []
+                for r0 in range(0, h, ts):
+                    for c0 in range(0, w, ts):
+                        blk = a[r0 : r0 + ts, c0 : c0 + ts]
+                        if blk.shape != (ts, ts):
+                            full = np.full((ts, ts), pad, dtype=a.dtype)
+                            full[: blk.shape[0], : blk.shape[1]] = blk
+                            blk = full
+                        chunks.append(_prep_strip(blk))
+            else:
+                chunks = [
+                    _prep_strip(a[r0 : r0 + rows_per_strip])
+                    for r0 in range(0, h, rows_per_strip)
+                ]
 
         entries: "list[tuple[int, int, object]]" = []
 
         def add(tag, typ, vals):
             entries.append((tag, typ, vals))
 
-        add(_T_WIDTH, 3, [w])
-        add(_T_HEIGHT, 3, [h])
+        # dimension tags: SHORT while they fit, LONG above 65535
+        dim_t = 4 if max(w, h, rows_per_strip) > 0xFFFF else 3
+        add(_T_WIDTH, dim_t, [w])
+        add(_T_HEIGHT, dim_t, [h])
         add(_T_BPS, 3, [bps])
         add(_T_COMPRESSION, 3, [comp_code])
         add(262, 3, [1])  # photometric: BlackIsZero
-        add(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+        if tile_size is None:
+            add(_T_ROWS_PER_STRIP, dim_t, [rows_per_strip])
+        else:
+            add(_T_TILE_W, 3, [tile_size])
+            add(_T_TILE_H, 3, [tile_size])
         add(_T_SPP, 3, [1])
         add(_T_SAMPLE_FORMAT, 3, [fmt])
         if is_base:
@@ -911,8 +969,10 @@ def write_geotiff(
         for ch in chunks:
             offsets.append(base_off + len(body))
             body += ch
-        add(_T_STRIP_OFFSETS, 4, offsets)
-        add(_T_STRIP_COUNTS, 4, [len(ch) for ch in chunks])
+        off_tag = _T_TILE_OFFSETS if tile_size is not None else _T_STRIP_OFFSETS
+        cnt_tag = _T_TILE_COUNTS if tile_size is not None else _T_STRIP_COUNTS
+        add(off_tag, off_type, offsets)
+        add(cnt_tag, off_type, [len(ch) for ch in chunks])
         entries.sort(key=lambda e: e[0])
 
         payloads = []
@@ -926,16 +986,20 @@ def write_geotiff(
         ext_base = base_off + len(body)
         ext = bytearray()
         ifd_entries = []
+        cnt_fmt = off_fmt  # IFD entry count field: 4 bytes classic, 8 big
         for tag, typ, cnt, pay in payloads:
             if len(pay) <= inline:
                 val = pay + b"\x00" * (inline - len(pay))
             else:
-                val = struct.pack("<I", ext_base + len(ext))
+                val = struct.pack("<" + off_fmt, ext_base + len(ext))
                 ext += pay
-            ifd_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
-        ifd = struct.pack("<H", len(ifd_entries))
+            ifd_entries.append(
+                struct.pack("<HH" + cnt_fmt, tag, typ, cnt) + val
+            )
+        ifd = struct.pack("<" + ifd_n_fmt, len(ifd_entries))
         ifd += b"".join(ifd_entries)
-        ifd += struct.pack("<I", 0)  # next-IFD, patched by caller
+        # next-IFD pointer, patched by caller
+        ifd += struct.pack("<" + off_fmt, 0)
         section = bytes(body) + bytes(ext) + ifd
         return section, len(body) + len(ext)
 
@@ -948,16 +1012,21 @@ def write_geotiff(
         sec, ifd_pos = build_section(a, cursor, is_base=(i == 0))
         sections.append((sec, ifd_pos))
         cursor += len(sec)
-    # patch next-IFD pointers (each section's last 4 bytes)
+    # patch next-IFD pointers (each section's last pointer-width bytes)
+    ptr_sz = struct.calcsize(off_fmt)
     patched = []
     for i, (sec, _pos) in enumerate(sections):
         if i + 1 < len(sections):
             nxt = starts[i + 1] + sections[i + 1][1]
-            sec = sec[:-4] + struct.pack("<I", nxt)
+            sec = sec[:-ptr_sz] + struct.pack("<" + off_fmt, nxt)
         patched.append(sec)
     ifd0 = starts[0] + sections[0][1]
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd0))
+        if bigtiff:
+            # BigTIFF header: version 43, offset size 8, reserved 0
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd0))
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, ifd0))
         for sec in patched:
             f.write(sec)
 

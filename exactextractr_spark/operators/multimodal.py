@@ -3,9 +3,10 @@
 Image/audio/video travel as ``binary`` columns with typed metadata
 (w, h, fmt, caption — the BASELINE.json input shape). The Spark-side
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is real
-and tested; PNG decode (core/png.py), baseline JPEG decode (core/jpeg.py)
-and WAV-PCM decode are fully real. Decoders for formats whose codecs
-aren't implementable here (webp, compressed audio, video) are stubbed
+and tested; PNG decode (core/png.py), baseline+progressive JPEG decode
+(core/jpeg.py), lossless WebP/VP8L decode (core/webp.py) and WAV-PCM
+decode are fully real. Decoders for formats whose codecs aren't
+implementable here (lossy webp/VP8, compressed audio, video) are stubbed
 behind ``NotImplementedError`` with a deterministic fake available for
 pipeline testing.
 """
@@ -37,10 +38,11 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Dispatch by format. PNG (our float-packed tiles) and baseline JPEG
-    (core/jpeg.py, pure numpy) decode for real; color JPEG reduces to
-    BT.601 luma so every decoder returns one (h, w) plane. webp/video
-    codecs are not available in this container."""
+    """Dispatch by format. PNG (our float-packed tiles), baseline +
+    progressive JPEG (core/jpeg.py), and lossless WebP (core/webp.py,
+    VP8L) decode for real; color images reduce to BT.601 luma so every
+    decoder returns one (h, w) plane. Lossy-WebP/video codecs are not
+    available in this container."""
     if fmt == "png":
         return decode_tile(data, w, h)
     if fmt in ("jpeg", "jpg"):
@@ -50,6 +52,13 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         if px.ndim == 3:
             px = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
         return px
+    if fmt == "webp":
+        from ..core.webp import decode_webp
+
+        rgba = decode_webp(data).astype(np.float64)
+        return (
+            0.299 * rgba[..., 0] + 0.587 * rgba[..., 1] + 0.114 * rgba[..., 2]
+        )
     if fmt == "fake":
         # deterministic fake decode: pixels from the payload hash, so the
         # pipeline shape (batching, schema, feature extraction) is testable
@@ -58,8 +67,8 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return rng.uniform(0, 255, (h, w))
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in this environment; "
-        "'png' and baseline 'jpeg' decode for real, 'fake' is a "
-        "deterministic stub"
+        "'png', 'jpeg' (baseline+progressive), and lossless 'webp' "
+        "decode for real, 'fake' is a deterministic stub"
     )
 
 

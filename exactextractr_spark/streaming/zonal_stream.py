@@ -138,13 +138,15 @@ def stream_zonal_stats(
 
             bspark = batch_df.sparkSession
             fdf = batch_df.localCheckpoint(eager=True)
-            n_state = fdf.count()
-            if n_state > max_state_rows:
+            # limit-bounded guard job (the repo-wide pattern): we only need
+            # "more than max_state_rows?", never the exact count
+            if fdf.limit(max_state_rows + 1).count() > max_state_rows:
                 raise ValueError(
-                    f"streaming freq state has {n_state} (feature, value) "
-                    f"rows > max_state_rows={max_state_rows}: the value "
-                    "raster is not categorical enough to stream frequency "
-                    "stats — run them in batch, or raise max_state_rows"
+                    "streaming freq state exceeds "
+                    f"max_state_rows={max_state_rows} (feature, value) "
+                    "rows: the value raster is not categorical enough to "
+                    "stream frequency stats — run them in batch, or raise "
+                    "max_state_rows"
                 )
             result = None
             if plan.algebraic:

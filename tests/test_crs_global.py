@@ -192,3 +192,19 @@ def test_crs_wkt_real_parameters():
     assert crs_wkt("EPSG:99999") is None
     # the OSGB definition carries the published TOWGS84 (local->WGS84)
     assert "TOWGS84[446.448,-125.157,542.06" in crs_wkt("EPSG:27700")
+
+
+def test_projstr_towgs84_matches_osgb_registry():
+    """A proj string spelling out OSGB (Airy axes + the PUBLISHED towgs84
+    local->WGS84 parameters) must match the EPSG:27700 registry entry
+    bit-for-bit — validating both the towgs84 sign convention and the
+    generalized-ellipsoid TM path."""
+    ps = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+          "+y_0=-100000 +a=6377563.396 +b=6356256.909 "
+          "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+    lon = np.array([-6.0, -2.0, 0.5, 1.7])
+    lat = np.array([50.1, 52.0, 54.0, 57.5])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", ps)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)

@@ -330,10 +330,15 @@ def test_image_features(spark):
 def test_image_features_unknown_format(spark):
     from exactextractr_spark.operators.multimodal import image_features
 
-    # webp remains a declared env-limited stub
+    # lossless webp now decodes for real — malformed bytes fail as a bad
+    # container, not as a missing decoder; video remains the declared stub
     rows = [("x", bytearray(b"notanimage"), 4, 4, "webp")]
     df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
-    with pytest.raises(Exception, match="decoder for 'webp'"):
+    with pytest.raises(Exception, match="not a WebP container"):
+        image_features(df).collect()
+    rows = [("x", bytearray(b"notanimage"), 4, 4, "mp4")]
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    with pytest.raises(Exception, match="decoder for 'mp4'"):
         image_features(df).collect()
     # jpeg now decodes for real — malformed bytes fail as a bad JPEG, not
     # as a missing decoder

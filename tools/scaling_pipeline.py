@@ -48,7 +48,11 @@ from exactextractr_spark.session import get_spark
 from pyspark.sql import functions as F
 
 cpus = int(os.environ["PIPE_CPUS"])
-spark = get_spark("dedup-scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+# shuffle partitions PINNED to the same value at every level: tying them
+# to the core count hands the low level fewer/larger tasks (less shuffle +
+# scheduling overhead per row), which flatters the 2-core denominator and
+# understates true scaling efficiency. 32 partitions at 2 cores just queue.
+spark = get_spark("dedup-scale", master=f"local[{{cpus}}]", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({docs_path!r})
 from exactextractr_spark.operators.dedup import minhash_dedup

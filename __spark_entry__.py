@@ -353,14 +353,16 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signatures, bit-exact vs the DuckDB re-derivation of
-    the full hash pipeline."""
+    the full hash pipeline. Exploded to (doc_id, pos, h) long rows so the
+    driver's value-hash compares scalars, not arrays."""
     _tune(spark)
     from exactextractr_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_signatures(docs, num_hashes=32, seed=42).select(
-        "doc_id", "sig"
-    )
+    sigs = minhash_signatures(docs, num_hashes=32, seed=42)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("pos", "h")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,11 +905,14 @@ SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
 
 
 def _minhash_sigs_oracle(num_hashes: int = 32, seed: int = 42) -> str:
+    # exploded rows to match the Spark side: (doc_id, pos, h) with h as
+    # signed int64 (uint64 two's-complement reinterpretation)
     return _minhash_oracle_cte(num_hashes, 1, seed) + f"""
-SELECT doc_id, list_transform(sig, v ->
-  CASE WHEN v >= 9223372036854775808::UBIGINT
-       THEN (v::HUGEINT - {_M64})::BIGINT ELSE v::BIGINT END) AS sig
-FROM sigs
+SELECT doc_id, (p.p)::BIGINT AS pos,
+  CASE WHEN sig[p.p + 1] >= 9223372036854775808::UBIGINT
+       THEN (sig[p.p + 1]::HUGEINT - {_M64})::BIGINT
+       ELSE sig[p.p + 1]::BIGINT END AS h
+FROM sigs, (SELECT unnest(range(0, {num_hashes})) AS p) p
 """
 
 

@@ -19,6 +19,13 @@ form for the families that need no datum math (all WGS84-based):
 - polar stereographic (EPSG:3413 Arctic NSIDC, EPSG:3031 Antarctic,
   EPSG:5041/5042 UPS) — Snyder §21 ellipsoidal forms, the §21 south-polar
   worked example reproduced to 0.1 m
+- normal-aspect Mercator (EPSG:3395 World Mercator) and sinusoidal (the
+  MODIS grid SR-ORG:6974, ESRI:54008) — Snyder §7/§30
+- Hotine oblique Mercator variant B (Snyder §9 / EPSG 9815; the EPSG
+  GN7-2 Timbalai worked example to the mm), whose alpha=90 case is the
+  Swiss projection: EPSG:2056 LV95 / EPSG:21781 LV03 on Bessel+Helmert
+- ANY '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc ...'
+  parameter string (the GeoTIFF user-defined-GeoKey escape hatch)
 
 Any pair within this family composes through lon/lat. Every other
 mismatched pair raises with the reference's guidance — never a silent
@@ -136,6 +143,7 @@ def _supported(crs: str) -> bool:
         or c in _NAMED_POLAR
         or c in _NAMED_MERC
         or c in _NAMED_SINU
+        or c in _NAMED_OMERC
     ):
         return True
     try:
@@ -348,6 +356,113 @@ _NAMED_POLAR = {
     "EPSG:32661": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, False),
     "EPSG:32761": (_R, _F, None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
 }
+
+#: Hotine oblique Mercator, EPSG 9815 variant B (Snyder §9 eq. 9-11..9-48;
+#: center-anchored false origin): code -> (a, f, latc, lonc, alpha_c,
+#: gamma_c, k0, FE, FN, helmert). The alpha=gamma=90 case is the Swiss
+#: projection (PROJ's somerc agrees with omerc+alpha=90 to ~1 mm across
+#: Switzerland); validated against the EPSG GN7-2 Timbalai/RSO-Borneo
+#: worked example to the mm (test_crs_global.py).
+_BESSEL_A, _BESSEL_F = 6377397.155, 1.0 / 299.1528128
+_CH_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_CH_LON0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+#: WGS84 -> CH1903(+) is the negation of the published towgs84
+#: (674.374, 15.056, 405.346) translation-only shift
+_CH_HELM = (-674.374, -15.056, -405.346, 0.0, 0.0, 0.0, 0.0)
+_NAMED_OMERC = {
+    # CH1903+ / LV95
+    "EPSG:2056": (_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 90.0, 90.0,
+                  1.0, 2_600_000.0, 1_200_000.0, _CH_HELM),
+    # CH1903 / LV03 (same Helmert at this module's accuracy)
+    "EPSG:21781": (_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 90.0, 90.0,
+                   1.0, 600_000.0, 200_000.0, _CH_HELM),
+}
+
+
+def _omerc_consts(a, f, latc_deg, lonc_deg, alpha_deg, k0):
+    """(B, A, E, gamma0, lam0, uc) — Snyder §9 eq. 9-11..9-24 /
+    EPSG 9815 setup constants."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    latc = math.radians(latc_deg)
+    lonc = math.radians(lonc_deg)
+    alphac = math.radians(alpha_deg)
+    B = math.sqrt(1.0 + e2 * math.cos(latc) ** 4 / (1.0 - e2))
+    A = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(latc) ** 2)
+    t0 = float(_conic_t(np.array(latc), e))
+    D = B * math.sqrt(1.0 - e2) / (
+        math.cos(latc) * math.sqrt(1.0 - e2 * math.sin(latc) ** 2)
+    )
+    D2 = max(D * D, 1.0)
+    F_ = D + math.copysign(math.sqrt(D2 - 1.0), latc)
+    E_ = F_ * t0 ** B
+    G = (F_ - 1.0 / F_) / 2.0
+    gamma0 = math.asin(math.sin(alphac) / D)
+    lam0 = lonc - math.asin(G * math.tan(gamma0)) / B
+    uc = abs(A / B * math.atan2(math.sqrt(D2 - 1.0), math.cos(alphac)))
+    uc = math.copysign(uc, latc)
+    return B, A, E_, gamma0, lam0, uc, e
+
+
+def _omerc_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_OMERC[dfn]
+    a, f, latc, lonc, alpha, gamma, k0, fe, fn, helm = dfn
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if any(helm):
+        x, y, z = _geodetic_to_geocentric(lon, lat, _R, _F)
+        scale, Rm, t = _helmert_matrix(helm)
+        XYZ = scale * (Rm @ np.vstack([x, y, z])) + t[:, None]
+        lon, lat = _geocentric_to_geodetic(XYZ[0], XYZ[1], XYZ[2], a, f)
+    B, A, E_, gamma0, lam0, uc, e = _omerc_consts(a, f, latc, lonc, alpha, k0)
+    phi = np.radians(lat)
+    t = _conic_t(phi, e)
+    Q = E_ / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = (np.radians(lon) - lam0 + math.pi) % (2.0 * math.pi) - math.pi
+    V = np.sin(B * dl)
+    U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(
+        S * math.cos(gamma0) + V * math.sin(gamma0), np.cos(B * dl)
+    ) / B - uc
+    gc = math.radians(gamma)
+    return (fe + v * math.cos(gc) + u * math.sin(gc),
+            fn + u * math.cos(gc) - v * math.sin(gc))
+
+
+def _omerc_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_OMERC[dfn]
+    a, f, latc, lonc, alpha, gamma, k0, fe, fn, helm = dfn
+    B, A, E_, gamma0, lam0, uc, e = _omerc_consts(a, f, latc, lonc, alpha, k0)
+    gc = math.radians(gamma)
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    v = xr * math.cos(gc) - yr * math.sin(gc)
+    u = yr * math.cos(gc) + xr * math.sin(gc) + uc
+    Q = np.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * u / A)
+    U = (V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    t = (E_ / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+    chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    phi = _conformal_to_geodetic(chi, a, f)
+    lam = lam0 - np.arctan2(
+        S * math.cos(gamma0) - V * math.sin(gamma0), np.cos(B * u / A)
+    ) / B
+    lon = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+    lat = np.degrees(phi)
+    if any(helm):
+        X, Y, Z = _geodetic_to_geocentric(lon, lat, a, f)
+        scale, Rm, tvec = _helmert_matrix(helm)
+        xyz = np.linalg.solve(scale * Rm, np.vstack([X, Y, Z]) - tvec[:, None])
+        lon, lat = _geocentric_to_geodetic(xyz[0], xyz[1], xyz[2], _R, _F)
+    return lon, lat
+
 
 #: normal-aspect Mercator (Snyder §7 ellipsoidal, eq. 7-6..7-8 / 7-9..7-10):
 #: code -> (a, f, lat_ts | None, k0 | None, lon0, FE, FN). EPSG:3395 is
@@ -796,9 +911,20 @@ def _projstr_def(c: str):
                          lat0 < 0.0)
     if proj == "SINU":
         return "sinu", (a, f, g("LON_0"), g("X_0"), g("Y_0"))
+    if proj == "OMERC":
+        alpha = g("ALPHA", 90.0)
+        gamma = g("GAMMA", alpha)
+        return "omerc", (a, f, g("LAT_0"), g("LONC", g("LON_0")), alpha,
+                         gamma, g("K_0", g("K", 1.0)), g("X_0"), g("Y_0"),
+                         helm)
+    if proj == "SOMERC":
+        # Swiss oblique Mercator == Hotine omerc with alpha=gamma=90
+        # (PROJ-documented equivalence, ~1 mm over Switzerland)
+        return "omerc", (a, f, g("LAT_0"), g("LON_0"), 90.0, 90.0,
+                         g("K_0", g("K", 1.0)), g("X_0"), g("Y_0"), helm)
     raise ValueError(
         f"proj string projection {proj!r} not supported (supported: tmerc, "
-        "merc, lcc, aea, laea, stere polar aspect, sinu)"
+        "merc, lcc, aea, laea, stere polar aspect, sinu, omerc, somerc)"
     )
 
 
@@ -856,6 +982,8 @@ def _to_lonlat(
         return _merc_to_lonlat(x, y, c)
     if c in _NAMED_SINU:
         return _sinu_to_lonlat(x, y, c)
+    if c in _NAMED_OMERC:
+        return _omerc_to_lonlat(x, y, c)
     ps = _projstr_def(c)
     if ps is not None:
         fam, dfn = ps
@@ -865,6 +993,7 @@ def _to_lonlat(
             "polar": _polar_to_lonlat,
             "merc": _merc_to_lonlat,
             "sinu": _sinu_to_lonlat,
+            "omerc": _omerc_to_lonlat,
         }[fam](x, y, dfn)
     raise _unsupported(crs)
 
@@ -904,6 +1033,8 @@ def _from_lonlat(
         return _merc_from_lonlat(lon, lat, c)
     if c in _NAMED_SINU:
         return _sinu_from_lonlat(lon, lat, c)
+    if c in _NAMED_OMERC:
+        return _omerc_from_lonlat(lon, lat, c)
     ps = _projstr_def(c)
     if ps is not None:
         fam, dfn = ps
@@ -913,6 +1044,7 @@ def _from_lonlat(
             "polar": _polar_from_lonlat,
             "merc": _merc_from_lonlat,
             "sinu": _sinu_from_lonlat,
+            "omerc": _omerc_from_lonlat,
         }[fam](lon, lat, dfn)
     raise _unsupported(crs)
 
@@ -920,13 +1052,13 @@ def _from_lonlat(
 def _unsupported(crs: str) -> ValueError:
     named = ", ".join(
         sorted(_NAMED_TM) + sorted(_NAMED_CONIC) + sorted(_NAMED_POLAR)
-        + sorted(_NAMED_MERC) + sorted(_NAMED_SINU)
+        + sorted(_NAMED_MERC) + sorted(_NAMED_SINU) + sorted(_NAMED_OMERC)
     )
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
         f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "
         "(Helmert-shifted TM / conic / azimuthal / mercator / sinusoidal), "
-        "or a '+proj=tmerc|merc|lcc|aea|laea|stere|sinu ...' parameter "
+        "or a '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc ...' parameter "
         "string. Transform the features to the raster CRS first (the "
         "reference transforms automatically via PROJ, "
         "R/exact_extract.R:360-377)"
@@ -1077,6 +1209,24 @@ def crs_wkt(crs: str) -> "str | None":
             "Sinusoidal",
             [("longitude_of_center", lon0), ("false_easting", fe),
              ("false_northing", fn)],
+        )
+    if c in _NAMED_OMERC:
+        a, f, latc, lonc, alpha, gamma, k0, fe, fn, helm = _NAMED_OMERC[c]
+        geog = _wkt_geogcs(a, f, "CH1903" if c in
+                           ("EPSG:2056", "EPSG:21781") else "unknown")
+        if any(helm):
+            towgs = ",".join("%.6g" % -v for v in helm)
+            geog = geog.replace(
+                "]],PRIMEM", f"],TOWGS84[{towgs}]],PRIMEM", 1
+            )
+        names = {"EPSG:2056": "CH1903+ / LV95", "EPSG:21781": "CH1903 / LV03"}
+        return _wkt_projcs(
+            names.get(c, c), geog,
+            "Hotine_Oblique_Mercator_Azimuth_Center",
+            [("latitude_of_center", latc), ("longitude_of_center", lonc),
+             ("azimuth", alpha), ("rectified_grid_angle", gamma),
+             ("scale_factor", k0), ("false_easting", fe),
+             ("false_northing", fn)], epsg,
         )
     ps = None
     try:

@@ -450,8 +450,39 @@ def _attach_weights(cand: DataFrame, values: Raster, weights: Raster) -> DataFra
     (collect_list of structs; exactly 1 element when schemes align).
     Grouping happens on a slim key projection so the heavy tile payload
     never enters the shuffle; the weight side is broadcast only below a
-    size gate (see WEIGHT_BROADCAST_MAX_BYTES)."""
+    size gate (see WEIGHT_BROADCAST_MAX_BYTES).
+
+    Aligned fast path: when the weight raster shares the value raster's
+    grid AND tiling exactly, value tile (r, c) overlaps weight tile
+    (r, c) and nothing else — one equi-join on the tile index, no
+    explode/collect_list shuffle at all (the common case: weights
+    produced alongside values on one grid)."""
     wm = weights.meta
+    vm = values.meta
+    aligned = (
+        wm.xmin == vm.xmin and wm.ymax == vm.ymax
+        and wm.dx == vm.dx and wm.dy == vm.dy
+        and wm.tile_w == vm.tile_w and wm.tile_h == vm.tile_h
+        and wm.width == vm.width and wm.height == vm.height
+    )
+    if aligned:
+        w1 = weights.tiles.select(
+            "tile_row", "tile_col",
+            F.array(
+                F.struct(
+                    F.col("xmin").alias("xmin"),
+                    F.col("ymax").alias("ymax"),
+                    F.col("dx").alias("dx"),
+                    F.col("dy").alias("dy"),
+                    F.col("nrows").alias("nrows"),
+                    F.col("ncols").alias("ncols"),
+                    F.col("px").alias("px"),
+                )
+            ).alias("wtiles"),
+        )
+        if _weight_payload_bytes(wm) <= WEIGHT_BROADCAST_MAX_BYTES:
+            w1 = F.broadcast(w1)
+        return cand.join(w1, on=["tile_row", "tile_col"], how="left")
     w = weights.tiles.select(
         F.col("tile_row").alias("w_tr"),
         F.col("tile_col").alias("w_tc"),

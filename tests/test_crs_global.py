@@ -175,7 +175,7 @@ def test_projstr_canonicalization_and_support():
         transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326",
                      "+proj=stere +lat_0=52 +lon_0=5")
     with pytest.raises(ValueError, match="not supported"):
-        transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326", "+proj=omerc")
+        transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326", "+proj=cass")
 
 
 def test_crs_wkt_real_parameters():
@@ -208,3 +208,85 @@ def test_projstr_towgs84_matches_osgb_registry():
     x2, y2 = transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
     np.testing.assert_array_equal(x1, x2)
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_hotine_omerc_timbalai_worked_example():
+    """EPSG GN 7-2 Hotine Oblique Mercator variant B worked example
+    (Timbalai 1948 / RSO Borneo (m)): Everest 1830 (1967), latc=4N,
+    lonc=115E, azimuth 53°18'56.9537", grid angle 53°07'48.3685",
+    k0=0.99984, Ec=590476.87, Nc=442857.65; the test point
+    phi=5°23'14.1129"N lam=115°48'19.8196"E -> E=679,245.73
+    N=596,562.78. Identity datum: inputs are Timbalai geographic."""
+    def dms(d, m, s):
+        return d + m / 60.0 + s / 3600.0
+
+    ps = ("+proj=omerc +lat_0=4 +lonc=115 "
+          f"+alpha={dms(53, 18, 56.9537)!r} "
+          f"+gamma={dms(53, 7, 48.3685)!r} "
+          "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 "
+          "+a=6377298.556 +rf=300.8017")
+    lon = np.array([dms(115, 48, 19.8196)])
+    lat = np.array([dms(5, 23, 14.1129)])
+    x, y = transform_xy(lon, lat, "EPSG:4326", ps)
+    assert x[0] == pytest.approx(679_245.73, abs=0.01)
+    assert y[0] == pytest.approx(596_562.78, abs=0.01)
+    lo, la = transform_xy(x, y, ps, "EPSG:4326")
+    assert lo[0] == pytest.approx(lon[0], abs=1e-9)
+    assert la[0] == pytest.approx(lat[0], abs=1e-9)
+
+
+def test_swiss_lv95_lv03():
+    """EPSG:2056 (LV95) and EPSG:21781 (LV03) via the alpha=90 Hotine
+    case (PROJ-documented somerc equivalence ~1 mm over Switzerland).
+    Checks: the projection center in LOCAL (CH1903) geographic
+    coordinates maps exactly to the false origin; LV95 and LV03 differ
+    by exactly (2,000,000, 1,000,000); round-trips close; conformality
+    (Cauchy-Riemann) holds at random Swiss points."""
+    ch_lat0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+    ch_lon0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+    # helm-free twin: local geographic -> grid
+    ps_local = (f"+proj=somerc +lat_0={ch_lat0!r} +lon_0={ch_lon0!r} "
+                "+k_0=1 +x_0=2600000 +y_0=1200000 "
+                "+a=6377397.155 +rf=299.1528128")
+    x, y = transform_xy(np.array([ch_lon0]), np.array([ch_lat0]),
+                        "EPSG:4326", ps_local)
+    assert x[0] == pytest.approx(2_600_000.0, abs=1e-6)
+    assert y[0] == pytest.approx(1_200_000.0, abs=1e-6)
+
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(6.0, 10.5, 400)
+    lat = rng.uniform(45.8, 47.8, 400)
+    e95, n95 = transform_xy(lon, lat, "EPSG:4326", "EPSG:2056")
+    lo, la = transform_xy(e95, n95, "EPSG:2056", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+    e03, n03 = transform_xy(lon, lat, "EPSG:4326", "EPSG:21781")
+    np.testing.assert_allclose(e95 - e03, 2_000_000.0, atol=1e-6)
+    np.testing.assert_allclose(n95 - n03, 1_000_000.0, atol=1e-6)
+    # conformality: numeric Jacobian satisfies Cauchy-Riemann (the Swiss
+    # projection is conformal by construction)
+    h = 1e-7
+    xe, ye = transform_xy(lon + h, lat, "EPSG:4326", "EPSG:2056")
+    xw, yw = transform_xy(lon - h, lat, "EPSG:4326", "EPSG:2056")
+    xn, yn = transform_xy(lon, lat + h, "EPSG:4326", "EPSG:2056")
+    xs, ys = transform_xy(lon, lat - h, "EPSG:4326", "EPSG:2056")
+    dx_dl = (xe - xw) / (2 * h)
+    dy_dl = (ye - yw) / (2 * h)
+    dx_dp = (xn - xs) / (2 * h)
+    dy_dp = (yn - ys) / (2 * h)
+    # on the ellipsoid, conformal <=> dx/dl = m*dy/dp and dy/dl = -m*dx/dp
+    # with m = cos(phi)/( (1-e2 sin^2) ... ) ratio of metric factors
+    import math as _m
+
+    f = 1.0 / 299.1528128
+    e2 = f * (2.0 - f)
+    phi = np.radians(lat)
+    mfac = np.cos(phi) * (1.0 - e2 * np.sin(phi) ** 2) / (1.0 - e2)
+    # atol covers finite-difference truncation near zero-crossings
+    # (derivative magnitudes are ~1e5 m/deg)
+    np.testing.assert_allclose(dx_dl, mfac * dy_dp, rtol=5e-4, atol=1.0)
+    np.testing.assert_allclose(dy_dl, -mfac * dx_dp, rtol=5e-4, atol=1.0)
+    # the WKT carries the real Hotine parameter set
+    w = crs_wkt("EPSG:2056")
+    assert 'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"]' in w
+    assert 'PARAMETER["azimuth",90]' in w and "TOWGS84[674.374" in w

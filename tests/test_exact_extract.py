@@ -214,8 +214,11 @@ def test_large_weight_raster_shuffles_not_broadcasts(spark, monkeypatch):
     wts = (np.arange(64, dtype=np.float64).reshape(8, 8) % 7) + 1.0
     vmeta = RasterMeta("v", xmin=0, ymax=8, dx=1, dy=1, width=8, height=8,
                        tile_w=4, tile_h=4)
+    # DIFFERENT tiling (one 8x8 weight tile vs 4x4 value tiles) so the
+    # general cover-join path runs — the aligned fast path is asserted
+    # separately below
     wmeta = RasterMeta("w", xmin=0, ymax=8, dx=1, dy=1, width=8, height=8,
-                       tile_w=4, tile_h=4)
+                       tile_w=8, tile_h=8)
     rv = Raster.from_array(spark, vals, vmeta)
     rw = Raster.from_array(spark, wts, wmeta)
     feats = features_from_wkt(
@@ -247,6 +250,26 @@ def test_large_weight_raster_shuffles_not_broadcasts(spark, monkeypatch):
         assert not re.search(r"BroadcastHashJoin \[w_tr", plan)
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[w_tr", plan)
         got = [r.asDict() for r in got_df.orderBy("feature_id").collect()]
+        # ALIGNED weights (same grid + tiling): the fast path joins on the
+        # tile index with no explode/collect_list, still without a
+        # payload broadcast above the gate, and stays bit-exact
+        wmeta2 = RasterMeta("w", xmin=0, ymax=8, dx=1, dy=1, width=8,
+                            height=8, tile_w=4, tile_h=4)
+        rw2 = Raster.from_array(spark, wts, wmeta2)
+        want2 = [
+            r.asDict()
+            for r in exact_extract(rv, feats, stats, weights=rw2)
+            .orderBy("feature_id").collect()
+        ]
+        got2_df = exact_extract(rv, feats, stats, weights=rw2)
+        plan2 = got2_df._jdf.queryExecution().executedPlan().toString()
+        # the weight attach is the tile-index join: above the gate it must
+        # shuffle, not broadcast (the feature_id result broadcast is fine)
+        assert not re.search(r"BroadcastHashJoin \[tile_row", plan2)
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[tile_row", plan2)
+        assert "collect_list" not in plan2  # no regroup on the fast path
+        got2 = [r.asDict() for r in got2_df.orderBy("feature_id").collect()]
+        assert got2 == want2 == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     assert got == want

@@ -196,8 +196,9 @@ def test_mixed_geometry_collection_rejected(spark):
 
 def test_crs_mismatch_fails_loudly(spark):
     # a pair with no closed-form transform raises with guidance
-    # (EPSG:2056 is the Swiss oblique mercator — not implemented)
-    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:2056")
+    # (EPSG:27200 is the NZ Map Grid — a custom conformal, not
+    # implemented; Swiss EPSG:2056 joined the family in round 5)
+    feats = features_from_wkt(spark, [SQ_WKT], crs="EPSG:27200")
     meta = RasterMeta(layer="v", xmin=0, ymax=3, dx=1, dy=1, width=3, height=3,
                       tile_w=3, tile_h=3, crs="EPSG:4326")
     r = Raster.from_array(spark, np.ones((3, 3)), meta)
@@ -425,7 +426,7 @@ def test_crs_auto_transform_4326_to_3857(spark):
     assert got["sum"] == pytest.approx(want["sum"], rel=1e-9)
     assert got["count"] == pytest.approx(want["count"], rel=1e-9)
     # unsupported pair still raises (oblique mercator, not implemented)
-    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:2056")
+    feats_bad = features_from_wkt(spark, [wkt_ll], crs="EPSG:27200")
     with pytest.raises(ValueError, match="no closed-form transform"):
         exact_extract(r, feats_bad, ["count"])
 
@@ -441,7 +442,8 @@ def test_utm_transform_series():
     assert can_transform("EPSG:27700", "EPSG:4326")  # Helmert-shifted TM
     assert can_transform("EPSG:2154", "EPSG:4326")  # LCC (closed-form)
     assert can_transform("EPSG:5070", "EPSG:3035")  # Albers <-> LAEA
-    assert not can_transform("EPSG:2056", "EPSG:4326")  # oblique mercator
+    assert not can_transform("EPSG:27200", "EPSG:4326")  # NZ Map Grid
+    assert can_transform("EPSG:2056", "EPSG:4326")  # Swiss, round 5
     # central-meridian/equator anchors (exact by construction)
     e, n = transform_xy(np.array([15.0]), np.array([0.0]),
                         "EPSG:4326", "EPSG:32633")

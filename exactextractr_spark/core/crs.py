@@ -24,7 +24,9 @@ form for the families that need no datum math (all WGS84-based):
 - Hotine oblique Mercator variant B (Snyder §9 / EPSG 9815; the EPSG
   GN7-2 Timbalai worked example to the mm), whose alpha=90 case is the
   Swiss projection: EPSG:2056 LV95 / EPSG:21781 LV03 on Bessel+Helmert
-- ANY '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc ...'
+- cylindrical equal-area (EPSG:6933 NSIDC EASE-Grid 2.0; the published
+  map half-width constant reproduces exactly) — Snyder §10
+- ANY '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc|cea ...'
   parameter string (the GeoTIFF user-defined-GeoKey escape hatch)
 
 Any pair within this family composes through lon/lat. Every other
@@ -144,6 +146,7 @@ def _supported(crs: str) -> bool:
         or c in _NAMED_MERC
         or c in _NAMED_SINU
         or c in _NAMED_OMERC
+        or c in _NAMED_CEA
     ):
         return True
     try:
@@ -339,7 +342,49 @@ _NAMED_CONIC = {
     # ETRS89-extended / LAEA Europe
     "EPSG:3035": ("laea", _GRS80_A, _GRS80_F, None, None, 52.0, 10.0,
                   4_321_000.0, 3_210_000.0),
+    # GDA94 / Geoscience Australia Lambert
+    "EPSG:3112": ("lcc", _GRS80_A, _GRS80_F, -18.0, -36.0, 0.0, 134.0,
+                  0.0, 0.0),
 }
+
+#: cylindrical equal-area, normal aspect (Snyder §10 ellipsoidal,
+#: eq. 10-7/10-8 via the authalic-latitude machinery):
+#: code -> (a, f, lat_ts, lon0, FE, FN). EPSG:6933 is NSIDC EASE-Grid 2.0
+#: Global (WGS84, lat_ts=30) — the passive-microwave/SMAP grid.
+_NAMED_CEA = {
+    "EPSG:6933": (_R, _F, 30.0, 0.0, 0.0, 0.0),
+}
+
+
+def _cea_from_lonlat(lon, lat, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_CEA[dfn]
+    a, f, lat_ts, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    k0 = float(_conic_m(np.array(math.radians(lat_ts)), e2))
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    dlam = np.radians((lon - lon0 + 180.0) % 360.0 - 180.0)
+    q = _conic_q(np.radians(lat), e, e2)
+    return fe + a * k0 * dlam, fn + a * q / (2.0 * k0)
+
+
+def _cea_to_lonlat(x, y, dfn):
+    if isinstance(dfn, str):
+        dfn = _NAMED_CEA[dfn]
+    a, f, lat_ts, lon0, fe, fn = dfn
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    k0 = float(_conic_m(np.array(math.radians(lat_ts)), e2))
+    qp = float(_conic_q(np.array(math.pi / 2.0), e, e2))
+    q = 2.0 * k0 * (np.asarray(y, dtype=np.float64) - fn) / a
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = _authalic_to_geodetic(beta, e2)
+    lon = lon0 + np.degrees(
+        (np.asarray(x, dtype=np.float64) - fe) / (a * k0)
+    )
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
 
 #: polar stereographic (Snyder §21 ellipsoidal; EPSG 9829 variant B with a
 #: standard parallel, 9810 variant A with k0 at the pole):
@@ -876,6 +921,14 @@ def _projstr_def(c: str):
         vals = [float(v) for v in d["TOWGS84"].split(",")]
         vals += [0.0] * (7 - len(vals))
         helm = tuple(-v for v in vals)
+    if proj not in ("TMERC", "OMERC", "SOMERC") and any(helm):
+        # only the TM/omerc paths run the Helmert pipeline; silently
+        # dropping a datum shift would be a silent wrong answer
+        raise ValueError(
+            f"+towgs84 is not supported with +proj={proj.lower()} "
+            "(datum shifts are implemented for tmerc/omerc/somerc); "
+            "transform the coordinates to WGS84 first"
+        )
     if proj == "TMERC":
         return "tm", (a, f, g("LAT_0"), g("LON_0"), g("K_0", g("K", 1.0)),
                       g("X_0"), g("Y_0"), helm)
@@ -917,6 +970,8 @@ def _projstr_def(c: str):
         return "omerc", (a, f, g("LAT_0"), g("LONC", g("LON_0")), alpha,
                          gamma, g("K_0", g("K", 1.0)), g("X_0"), g("Y_0"),
                          helm)
+    if proj == "CEA":
+        return "cea", (a, f, g("LAT_TS"), g("LON_0"), g("X_0"), g("Y_0"))
     if proj == "SOMERC":
         # Swiss oblique Mercator == Hotine omerc with alpha=gamma=90
         # (PROJ-documented equivalence, ~1 mm over Switzerland)
@@ -924,7 +979,7 @@ def _projstr_def(c: str):
                          g("K_0", g("K", 1.0)), g("X_0"), g("Y_0"), helm)
     raise ValueError(
         f"proj string projection {proj!r} not supported (supported: tmerc, "
-        "merc, lcc, aea, laea, stere polar aspect, sinu, omerc, somerc)"
+        "merc, lcc, aea, laea, stere polar aspect, sinu, omerc, somerc, cea)"
     )
 
 
@@ -984,6 +1039,8 @@ def _to_lonlat(
         return _sinu_to_lonlat(x, y, c)
     if c in _NAMED_OMERC:
         return _omerc_to_lonlat(x, y, c)
+    if c in _NAMED_CEA:
+        return _cea_to_lonlat(x, y, c)
     ps = _projstr_def(c)
     if ps is not None:
         fam, dfn = ps
@@ -994,6 +1051,7 @@ def _to_lonlat(
             "merc": _merc_to_lonlat,
             "sinu": _sinu_to_lonlat,
             "omerc": _omerc_to_lonlat,
+            "cea": _cea_to_lonlat,
         }[fam](x, y, dfn)
     raise _unsupported(crs)
 
@@ -1035,6 +1093,8 @@ def _from_lonlat(
         return _sinu_from_lonlat(lon, lat, c)
     if c in _NAMED_OMERC:
         return _omerc_from_lonlat(lon, lat, c)
+    if c in _NAMED_CEA:
+        return _cea_from_lonlat(lon, lat, c)
     ps = _projstr_def(c)
     if ps is not None:
         fam, dfn = ps
@@ -1045,6 +1105,7 @@ def _from_lonlat(
             "merc": _merc_from_lonlat,
             "sinu": _sinu_from_lonlat,
             "omerc": _omerc_from_lonlat,
+            "cea": _cea_from_lonlat,
         }[fam](lon, lat, dfn)
     raise _unsupported(crs)
 
@@ -1053,12 +1114,13 @@ def _unsupported(crs: str) -> ValueError:
     named = ", ".join(
         sorted(_NAMED_TM) + sorted(_NAMED_CONIC) + sorted(_NAMED_POLAR)
         + sorted(_NAMED_MERC) + sorted(_NAMED_SINU) + sorted(_NAMED_OMERC)
+        + sorted(_NAMED_CEA)
     )
     return ValueError(
         f"no transform available for {crs!r}; supported closed-form CRSs: "
         f"EPSG:4326, EPSG:3857, WGS84/UTM EPSG:326xx/327xx, {named} "
         "(Helmert-shifted TM / conic / azimuthal / mercator / sinusoidal), "
-        "or a '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc ...' parameter "
+        "or a '+proj=tmerc|merc|lcc|aea|laea|stere|sinu|omerc|somerc|cea ...' parameter "
         "string. Transform the features to the raster CRS first (the "
         "reference transforms automatically via PROJ, "
         "R/exact_extract.R:360-377)"
@@ -1227,6 +1289,14 @@ def crs_wkt(crs: str) -> "str | None":
              ("azimuth", alpha), ("rectified_grid_angle", gamma),
              ("scale_factor", k0), ("false_easting", fe),
              ("false_northing", fn)], epsg,
+        )
+    if c in _NAMED_CEA:
+        a, f, lat_ts, lon0, fe, fn = _NAMED_CEA[c]
+        return _wkt_projcs(
+            "WGS 84 / NSIDC EASE-Grid 2.0 Global" if c == "EPSG:6933" else c,
+            _wkt_geogcs(a, f), "Cylindrical_Equal_Area",
+            [("standard_parallel_1", lat_ts), ("central_meridian", lon0),
+             ("false_easting", fe), ("false_northing", fn)], epsg,
         )
     ps = None
     try:

@@ -174,14 +174,13 @@ def _read_code(br: _BitReader, alphabet: int) -> _Huff:
         num = br.read(1) + 1
         first_8bit = br.read(1)
         s0 = br.read(8 if first_8bit else 1)
-        lengths = np.zeros(alphabet, dtype=np.int64)
-        if num == 1:
-            lengths[s0] = 1  # placeholder; treated as zero-bit single
+        if num == 1:  # zero-bit single-symbol code
             h = _Huff.__new__(_Huff)
             h.single = int(s0)
             h.table = None
             h.maxlen = 0
             return h
+        lengths = np.zeros(alphabet, dtype=np.int64)
         s1 = br.read(8)
         if s0 == s1:
             raise ValueError("simple code with duplicate symbols")

@@ -167,6 +167,7 @@ _CT_PROJ = {
     11: "aea",    # CT_AlbersEqualArea
     15: "stere",  # CT_PolarStereographic
     24: "sinu",   # CT_Sinusoidal
+    28: "cea",    # CT_CylindricalEqualArea
 }
 
 #: GeographicTypeGeoKey (2048) / GeogEllipsoidGeoKey (2056) -> ellipsoid
@@ -241,7 +242,8 @@ def _epsg_from_geokeys(keys: tuple, doubles: tuple = ()) -> str:
         parts.append("+lat_0=%.17g" % lat0)
     if std1 is not None:
         parts.append(
-            ("+lat_ts=%.17g" if proj in ("merc", "stere") else "+lat_1=%.17g")
+            ("+lat_ts=%.17g" if proj in ("merc", "stere", "cea")
+             else "+lat_1=%.17g")
             % std1
         )
     if 3079 in found:
@@ -268,8 +270,17 @@ def _geokeys_for_projstr(crs: str) -> "tuple[tuple, list[float]]":
         raise ValueError(f"not a proj parameter string: {crs!r}")
     crs_mod._projstr_def(crs_mod._norm(crs))  # validate early, loud
     proj = d["PROJ"]
-    ct = {"TMERC": 1, "MERC": 7, "LCC": 8, "LAEA": 10, "AEA": 11,
-          "STERE": 15, "SINU": 24}[proj]
+    ct_map = {"TMERC": 1, "MERC": 7, "LCC": 8, "LAEA": 10, "AEA": 11,
+              "STERE": 15, "SINU": 24, "CEA": 28}
+    if proj not in ct_map:
+        # oblique Mercator has no rectified-grid-angle GeoKey in the spec
+        # — refuse rather than write keys this (or any) reader can't
+        # reconstruct faithfully
+        raise ValueError(
+            f"cannot encode +proj={proj.lower()} as GeoTIFF parameter "
+            "GeoKeys; use an EPSG-coded CRS for this output"
+        )
+    ct = ct_map[proj]
     a, f = crs_mod._projstr_ellipsoid(d)
     doubles: list[float] = []
     keys: "list[tuple[int, int, int, int]]" = [

@@ -290,3 +290,40 @@ def test_swiss_lv95_lv03():
     w = crs_wkt("EPSG:2056")
     assert 'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"]' in w
     assert 'PARAMETER["azimuth",90]' in w and "TOWGS84[674.374" in w
+
+
+def test_ease_grid2_cylindrical_equal_area():
+    """EPSG:6933 (NSIDC EASE-Grid 2.0 Global, cylindrical equal-area,
+    lat_ts=30): the map half-width must equal the published EASE2
+    constant 17,367,530.44 m (= a·k0·pi with k0 at the standard
+    parallel); equal-area Jacobian and round-trips hold; the proj-string
+    twin is bit-exact."""
+    x, _ = transform_xy(np.array([179.999999999]), np.array([0.0]),
+                        "EPSG:4326", "EPSG:6933")
+    assert x[0] == pytest.approx(17_367_530.44, abs=0.1)
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-179.0, 179.0, 1000)
+    lat = rng.uniform(-85.0, 85.0, 1000)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:6933")
+    lo, la = transform_xy(x, y, "EPSG:6933", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+    h = 1e-6
+    e2 = crs._F * (2.0 - crs._F)
+    xe, _ = transform_xy(lon + h, lat, "EPSG:4326", "EPSG:6933")
+    xw, _ = transform_xy(lon - h, lat, "EPSG:4326", "EPSG:6933")
+    _, yn = transform_xy(lon, lat + h, "EPSG:4326", "EPSG:6933")
+    _, ys = transform_xy(lon, lat - h, "EPSG:4326", "EPSG:6933")
+    J = np.abs((xe - xw) * (yn - ys)) / (4 * h * h) * (180 / math.pi) ** 2
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    area = crs._R ** 2 * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+    np.testing.assert_allclose(J, area, rtol=1e-5)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84")
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    # towgs84 on a non-helmert family stays loud, not silent
+    with pytest.raises(ValueError, match="towgs84"):
+        transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326",
+                     "+proj=cea +lat_ts=30 +towgs84=100,0,0")

@@ -146,9 +146,11 @@ def main():
     sections.append(
         "## Weighted zonal, weight raster BELOW the broadcast gate "
         "(`zonal_weighted`)\n\n"
-        "Weight tiles broadcast (hinted) onto the slim candidate keys; "
-        "grouping runs on a key projection so pixel payloads never enter "
-        "the shuffle.\n\n"
+        "The sf0.1 weight raster shares the value grid AND tiling, so "
+        "the ALIGNED fast path runs: weight tile (r, c) equi-joins value "
+        "tile (r, c) directly (no explode, no collect_list regroup), "
+        "broadcast-hinted below the size gate. Misaligned weights take "
+        "the cover join + slim-key regroup instead.\n\n"
         f"```\n{plan_of(df)}```\n"
     )
     old_gate = zmod.WEIGHT_BROADCAST_MAX_BYTES
@@ -161,9 +163,10 @@ def main():
             "## Weighted zonal, weight raster ABOVE the broadcast gate\n\n"
             "Same query with WEIGHT_BROADCAST_MAX_BYTES forced to 0 (and "
             "AQE auto-broadcast off so the strategy choice is visible): "
-            "the weight attachment becomes a SortMergeJoin on (w_tr, "
-            "w_tc) — a 100x-larger weight raster shuffles instead of "
-            "OOM-ing the executors with a payload broadcast.\n\n"
+            "the weight attachment becomes a SortMergeJoin on the tile "
+            "index (aligned fast path; (w_tr, w_tc) on the misaligned "
+            "cover join) — a 100x-larger weight raster shuffles instead "
+            "of OOM-ing the executors with a payload broadcast.\n\n"
             f"```\n{plan_of(df)}```\n"
         )
     finally:

@@ -555,7 +555,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (hyperplane hash family not expressible in SQL)."""
+    """LSH ANN with the FNV-Rademacher hyperplane family: plane entries are
+    ±1 signs of FNV-1a('hp{seed}:{b}:{d}'), so the DuckDB oracle re-derives
+    the planes, band keys, candidate join, and exact re-rank bit-exactly.
+    The Gaussian family remains the API default (pytest-covered)."""
     _tune(spark)
     from exactextractr_spark.operators.similarity import lsh_cosine_topk
 
@@ -564,13 +567,16 @@ def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    out = lsh_cosine_topk(emb, queries, 10, dim=dim)
+    out = lsh_cosine_topk(emb, queries, 10, dim=dim, family="rademacher_fnv")
     return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _q_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (trained coarse quantizer not expressible in SQL): IVF ANN
-    — k-means inverted lists, nprobe-bounded candidate join, exact re-rank."""
+    """IVF ANN with a SQL-expressible coarse quantizer: centroids are the
+    n_centroids lowest-id vectors (init='first', no Lloyd refinement), so the
+    DuckDB oracle reproduces list assignment, nprobe probing, and the exact
+    re-rank. The k-means-refined quantizer (init='random', train_iters=10)
+    remains the recall/quality path, covered by pytest."""
     _tune(spark)
     from exactextractr_spark.operators.similarity import ivf_cosine_topk
 
@@ -578,7 +584,9 @@ def _q_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    out = ivf_cosine_topk(emb, queries, 10, n_centroids=16, nprobe=4)
+    out = ivf_cosine_topk(
+        emb, queries, 10, n_centroids=16, nprobe=4, train_iters=0, init="first"
+    )
     return out.select("qid", "item_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -821,6 +829,19 @@ def _sql_modmul(a_expr: str, g_expr: str) -> str:
     )
 
 
+def _sql_fnv_str(expr: str) -> str:
+    """FNV-1a over the bytes of an ASCII string expression (same fold as
+    _SQL_FNV_TOKENS, but over an arbitrary string — used to re-derive the
+    LSH hyperplane sign family)."""
+    return (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> unicode(c)::UBIGINT)), "
+        "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211) "
+        f"% {_M64})::UBIGINT)"
+    )
+
+
 _SQL_FNV_TOKENS = (
     "list_transform("
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
@@ -936,6 +957,112 @@ sh AS (
 )
 SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
+def _lsh_cosine_oracle(bits: int = 16, dim: int = 64, bands: int = 4,
+                       seed: int = 42, k: int = 10) -> str:
+    """Re-derives similarity.fnv_rademacher_planes + band_key_udf packing:
+    plane sign = parity of FNV-1a('hp{seed}:{b}:{d}'); band key =
+    band*2^per_band + MSB-first bit pack of (projection > 0) signs; then the
+    same (band,bucket) equi-join candidate set and exact cosine re-rank."""
+    per_band = bits // bands
+    fnv = _sql_fnv_str(f"'hp{seed}:' || b.b || ':' || d.d")
+    return f"""
+WITH planes AS (
+  SELECT b.b, d.d,
+         CASE WHEN ({fnv}) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, {bits}) b(b), range(0, {dim}) d(d)
+),
+proj AS (
+  SELECT e.vec_id, p.b,
+         SUM(p.s * e.embedding[p.d + 1]::DOUBLE) AS pr
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.b
+),
+keys AS (
+  SELECT vec_id,
+         (b // {per_band}) * {1 << per_band}
+         + SUM(CASE WHEN pr > 0
+               THEN 1 << ({per_band - 1} - (b % {per_band}))
+               ELSE 0 END) AS bkey
+  FROM proj GROUP BY vec_id, b // {per_band}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, i.vec_id AS item_id
+  FROM keys q JOIN keys i ON q.bkey = i.bkey
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT c.qid, c.item_id,
+         list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
+                                CAST(eq.embedding AS DOUBLE[])) AS cs
+  FROM cand c
+  JOIN embeddings ei ON ei.vec_id = c.item_id
+  JOIN embeddings eq ON eq.vec_id = c.qid
+),
+ranked AS (
+  SELECT qid, item_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cs DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, item_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_cosine_oracle(n_centroids: int = 16, nprobe: int = 4,
+                       k: int = 10) -> str:
+    """Re-derives ivf_cosine_topk(init='first', train_iters=0): centroids =
+    the n_centroids lowest-id vectors; items assigned to their argmax-cosine
+    list (ties -> lowest cid, matching numpy argmax); queries probe their
+    nprobe best lists; exact cosine re-rank within the probed lists."""
+    return f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_centroids})
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.ce AS DOUBLE[])) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.ce AS DOUBLE[])) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS item_id
+  FROM probes p JOIN asg a ON a.cid = p.cid
+),
+scored AS (
+  SELECT c.qid, c.item_id,
+         list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
+                                CAST(eq.embedding AS DOUBLE[])) AS cs
+  FROM cand c
+  JOIN embeddings ei ON ei.vec_id = c.item_id
+  JOIN embeddings eq ON eq.vec_id = c.qid
+),
+ranked AS (
+  SELECT qid, item_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cs DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, item_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1101,6 +1228,8 @@ WITH qs AS (
 )
 SELECT qid, item_id, rank FROM ranked WHERE rank <= 10
 """,
+        "lsh_cosine": _lsh_cosine_oracle(),
+        "ivf_cosine": _ivf_cosine_oracle(),
         "embedding_dedup": """
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

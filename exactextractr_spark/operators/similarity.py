@@ -75,11 +75,47 @@ def hyperplane_signature(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def band_key_udf(dim: int, bits: int, bands: int, seed: int = 42):
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_M64 = 1 << 64
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = _FNV_OFF
+    for c in data:
+        h = ((h ^ c) * _FNV_PRIME) % _M64
+    return h
+
+
+def fnv_rademacher_planes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Rademacher (±1) hyperplanes whose entries derive from FNV-1a of the
+    ASCII string ``hp{seed}:{b}:{d}`` — sign random projections (Charikar
+    SimHash) with a hash family an independent SQL oracle can re-derive
+    bit-exactly (DuckDB mirrors the byte fold; see __spark_entry__). ±1
+    entries are a standard LSH choice (Achlioptas-style sparse/sign
+    projections preserve the cosine collision probability)."""
+    P = np.empty((bits, dim), dtype=np.float64)
+    for b in range(bits):
+        for d in range(dim):
+            h = _fnv1a64(f"hp{seed}:{b}:{d}".encode("ascii"))
+            P[b, d] = 1.0 if (h & 1) else -1.0
+    return P
+
+
+def band_key_udf(
+    dim: int, bits: int, bands: int, seed: int = 42, family: str = "gaussian"
+):
     """Factory for the vectorized LSH band-key pandas UDF (shared by
     ``lsh_cosine_topk`` and ``dedup.embedding_dedup``): one batch matmul
-    against the hyperplanes, bit-packed per band — zero per-row Python."""
-    planes = hyperplane_signature(dim, bits, seed)
+    against the hyperplanes, bit-packed per band — zero per-row Python.
+    ``family``: 'gaussian' (default) or 'rademacher_fnv' (SQL-verifiable
+    hash-derived ±1 planes)."""
+    if family == "rademacher_fnv":
+        planes = fnv_rademacher_planes(dim, bits, seed)
+    elif family == "gaussian":
+        planes = hyperplane_signature(dim, bits, seed)
+    else:
+        raise ValueError(f"unknown hyperplane family: {family!r}")
     per_band = bits // bands
     _pw = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
     _offs = np.arange(bands, dtype=np.int64) * (1 << per_band)
@@ -113,13 +149,14 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    family: str = "gaussian",
 ) -> DataFrame:
     """ANN variant: sign-bucket both sides on ``bands`` independent
     hyperplane bands, equi-join on (band, bucket) — the 100-TB path where a
     broadcast of queries or a full cross product is impossible — then exact
     re-rank within candidates. Recall < 1 by construction; increase bands
     for higher recall."""
-    band_keys = band_key_udf(dim, bits, bands, seed)
+    band_keys = band_key_udf(dim, bits, bands, seed, family=family)
 
     it = items.withColumn("bkey", F.explode(band_keys(F.col(vec_col))))
     qq = queries.select(
@@ -154,18 +191,30 @@ def train_ivf_centroids(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    init: str = "random",
 ) -> np.ndarray:
     """Coarse quantizer for IVF: spherical k-means on a driver-side sample
     (the standard FAISS recipe — training is tiny relative to the corpus;
     at 100 TB you sample ~10^5 vectors, not the table). Deterministic:
     the sample is the ``sample`` LOWEST ids (orderBy+limit compiles to a
     distributed TakeOrdered, no full sort), not a bare limit() whose rows
-    depend on partition layout."""
+    depend on partition layout.
+
+    ``init='first'`` seeds centroids from the ``n_centroids`` lowest-id
+    vectors instead of a seeded random draw; with ``iters=0`` that makes the
+    whole quantizer SQL-expressible (ORDER BY id LIMIT k), which is how the
+    driver's DuckDB oracle verifies the IVF plumbing bit-exactly while the
+    k-means-refined mode remains the recall/quality path."""
     rows = items.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    if init == "first":
+        C = X[: min(n_centroids, len(X))].copy()
+    elif init == "random":
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    else:
+        raise ValueError(f"unknown centroid init: {init!r}")
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for c in range(C.shape[0]):
@@ -188,6 +237,8 @@ def ivf_cosine_topk(
     qid_col: str = "qid",
     centroids: "np.ndarray | None" = None,
     seed: int = 42,
+    train_iters: int = 10,
+    init: str = "random",
 ) -> DataFrame:
     """IVF ANN: items partitioned into inverted lists by nearest centroid
     (one shuffle key per item); each query probes its ``nprobe`` nearest
@@ -197,7 +248,8 @@ def ivf_cosine_topk(
     nprobe (nprobe == n_centroids degrades to exact brute force)."""
     if centroids is None:
         centroids = train_ivf_centroids(
-            items, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+            items, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed,
+            iters=train_iters, init=init,
         )
     C = np.asarray(centroids, dtype=np.float64)
     nprobe = min(nprobe, C.shape[0])

@@ -311,6 +311,64 @@ def test_lsh_cosine_recall(spark):
     assert recall >= 0.5, recall
 
 
+def test_fnv_rademacher_planes_spec():
+    """Plane entries are ±1 signs of FNV-1a('hp{seed}:{b}:{d}') parity —
+    pinned so the DuckDB oracle in __spark_entry__ stays in lockstep."""
+    from exactextractr_spark.operators.similarity import (
+        _fnv1a64,
+        fnv_rademacher_planes,
+    )
+
+    # FNV-1a known answer: empty input is the offset basis
+    assert _fnv1a64(b"") == 0xCBF29CE484222325
+    # public FNV-1a test vector: 'a' -> 0xaf63dc4c8601ec8c
+    assert _fnv1a64(b"a") == 0xAF63DC4C8601EC8C
+
+    P = fnv_rademacher_planes(dim=8, bits=4, seed=42)
+    assert P.shape == (4, 8)
+    assert set(np.unique(P)) <= {-1.0, 1.0}
+    for b in (0, 3):
+        for d in (0, 7):
+            h = _fnv1a64(f"hp42:{b}:{d}".encode())
+            assert P[b, d] == (1.0 if h & 1 else -1.0)
+    # both signs present (a constant family would hash everything together)
+    assert (P == 1.0).any() and (P == -1.0).any()
+
+
+def test_lsh_cosine_rademacher_family(spark):
+    """The SQL-verifiable ±1 hyperplane family behaves like the Gaussian
+    one: self always found, decent recall vs brute force, and an unknown
+    family name raises."""
+    import pytest as _pytest
+
+    from exactextractr_spark.operators.similarity import (
+        band_key_udf,
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(items, queries, 5).collect()
+    approx = lsh_cosine_topk(
+        items, queries, 5, dim=16, bits=16, bands=8, family="rademacher_fnv"
+    ).collect()
+    exact_set = {(r["qid"], r["item_id"]) for r in exact}
+    approx_set = {(r["qid"], r["item_id"]) for r in approx}
+    assert all((q, q) in approx_set for q in range(3))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    with _pytest.raises(ValueError, match="family"):
+        band_key_udf(16, 16, 8, family="nope")
+
+
 def test_image_features(spark):
     from exactextractr_spark.operators.multimodal import image_features
     from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
@@ -615,3 +673,40 @@ def test_ivf_cosine_recall(spark):
     # nprobe == n_centroids degrades to exact brute force
     full = ivf_cosine_topk(items, queries, 5, n_centroids=8, nprobe=8).collect()
     assert {(r["qid"], r["item_id"]) for r in full} == exact_set
+
+
+def test_ivf_cosine_first_init_untrained(spark):
+    """init='first', train_iters=0: the SQL-expressible quantizer (centroids
+    = lowest-id vectors, no Lloyd). Still a valid IVF: self found, nprobe ==
+    n_centroids degrades to exact, and the centroid matrix is exactly the
+    first-k normalized sample rows."""
+    from exactextractr_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    C = train_ivf_centroids(items, 8, iters=0, init="first")
+    X = vecs[:8].astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    assert np.allclose(C, X)
+
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(items, queries, 5).collect()
+    exact_set = {(r["qid"], r["item_id"]) for r in exact}
+    full = ivf_cosine_topk(
+        items, queries, 5, n_centroids=8, nprobe=8, train_iters=0, init="first"
+    ).collect()
+    assert {(r["qid"], r["item_id"]) for r in full} == exact_set
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="init"):
+        train_ivf_centroids(items, 8, init="bogus")

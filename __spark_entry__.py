@@ -337,6 +337,75 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup by hamming distance: FNV-derived simhash64
+    (already oracle-verified bit-exactly) -> pigeonhole-exact banded
+    candidate join -> bit_count(xor) <= 3 -> greedy-by-id keep rule.
+    Everything after the signature UDF is JVM-side."""
+    _tune(spark)
+    from exactextractr_spark.operators.dedup import hamming_dedup, simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hamming_dedup(
+        simhash64(docs), id_col="doc_id", hash_col="simhash", max_hamming=3
+    ).select("doc_id", "near_dups")
+
+
+def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over BOTH synthetic tile tables (the
+    weight raster (r+2c)%13 contains provably identical tiles). The tile
+    phash column derives from the arithmetic pixel formula, so the DuckDB
+    oracle re-computes every hash from scratch (2x2 block sums are integer-
+    exact; /4.0 and the 64-value median stay dyadic) and replays the same
+    banded hamming dedup — the full image pipeline is oracle-checked."""
+    _tune(spark)
+    from exactextractr_spark.operators.dedup import image_phash_dedup
+
+    tiles = _synth_raster(spark)._raw.select("image_id", "phash").unionAll(
+        _synth_raster(spark, weights=True)._raw.select("image_id", "phash")
+    )
+    return image_phash_dedup(tiles, max_hamming=3).select("image_id", "near_dups")
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (map-only, zero shuffle); every metric
+    mirrored by the DuckDB oracle."""
+    _tune(spark)
+    from exactextractr_spark.operators.textstats import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs, min_words=10).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "frac_alpha_words",
+        "stopword_hits",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics via per-row sorted-array folds
+    (no explode/shuffle); oracle re-derives line dup fractions and the
+    most-frequent word 2-gram with the same smallest-gram tie rule."""
+    _tune(spark)
+    from exactextractr_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs).select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram",
+        "top_2gram_count",
+        "top_2gram_char_frac",
+    )
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-exact oracle: the FNV-1a token hash + mod-2^64 shingle rolling +
     multiply-shift family are all re-derived in DuckDB SQL
@@ -782,6 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
+        "gopher_quality": _q_gopher_quality,
+        "doc_repetition": _q_doc_repetition,
+        "simhash_dedup": _q_simhash_dedup,
+        "image_phash_dedup": _q_image_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_sigs": _q_minhash_sigs,
         "simhash": _q_simhash,
@@ -937,7 +1010,7 @@ FROM sigs, (SELECT unnest(range(0, {num_hashes})) AS p) p
 """
 
 
-_SIMHASH_ORACLE = f"""
+_SIMHASH_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_SQL_FNV_TOKENS}) AS h FROM documents
 ),
@@ -954,10 +1027,101 @@ sh AS (
                     ELSE (1::BIGINT << bit) END
              ELSE 0 END)::BIGINT AS simhash
   FROM bits GROUP BY doc_id
-)
+)"""
+
+_SIMHASH_ORACLE = _SIMHASH_CTE + """
 SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sh USING (doc_id)
 """
+
+
+def _hamming_dedup_sql(id_expr: str, max_hamming: int = 3,
+                       bands: int = 4) -> str:
+    """Shared tail of the hamming-dedup oracles: given a CTE named ``hs``
+    with columns (id, h), re-derive dedup.hamming_dedup — band extraction
+    ((h >> start) & mask matches shiftrightunsigned on the masked low
+    bits regardless of arithmetic-vs-logical shift), pigeonhole-exact
+    candidate join, bit_count(xor) filter, greedy-by-id keep rule."""
+    band_rows = []
+    for b in range(bands):
+        s = 64 * b // bands
+        w = 64 * (b + 1) // bands - s
+        band_rows.append(f"({b}, {s}, {(1 << w) - 1})")
+    return f""",
+bandx AS (
+  SELECT hs.id, sp.bi, (hs.h >> sp.s) & sp.mask AS bv
+  FROM hs, (VALUES {', '.join(band_rows)}) sp(bi, s, mask)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bandx l JOIN bandx r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+),
+close_pairs AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN hs a ON a.id = p.id_a JOIN hs b ON b.id = p.id_b
+  WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+)
+SELECT hs.id AS {id_expr}, COALESCE(c.n, 0)::BIGINT AS near_dups
+FROM hs
+LEFT JOIN (SELECT id_a, COUNT(*) AS n FROM close_pairs GROUP BY id_a) c
+  ON hs.id = c.id_a
+WHERE hs.id NOT IN (SELECT id_b FROM close_pairs)
+"""
+
+
+def _simhash_dedup_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    return (
+        _SIMHASH_CTE
+        + """,
+hs AS (
+  SELECT d.doc_id AS id, coalesce(sh.simhash, 0)::BIGINT AS h
+  FROM documents d LEFT JOIN sh USING (doc_id)
+)"""
+        + _hamming_dedup_sql("doc_id", max_hamming, bands)
+    )
+
+
+def _phash_tiles_cte(grid_n: int = 48, tile: int = 16) -> str:
+    """Re-derives core/png.phash64 for every tile of BOTH synthetic rasters
+    (v = i % 97, w = (r + 2c) % 13) from the arithmetic pixel formulas:
+    2x2-block integer sums are exact in SQL and numpy alike, /4.0 and the
+    64-value median stay dyadic-exact, so the hash matches bit-for-bit."""
+    nt = grid_n // tile
+    return f"""
+WITH px AS (
+  SELECT lyr.l AS layer, tr.tr, tc.tc, r.r, c.c,
+         CASE WHEN lyr.l = 'v'
+              THEN ((tr.tr * {tile} + r.r) * {grid_n} + tc.tc * {tile} + c.c) % 97
+              ELSE ((tr.tr * {tile} + r.r) + 2 * (tc.tc * {tile} + c.c)) % 13
+         END AS val
+  FROM (VALUES ('v'), ('w')) lyr(l),
+       range(0, {nt}) tr(tr), range(0, {nt}) tc(tc),
+       range(0, {tile}) r(r), range(0, {tile}) c(c)
+),
+blocks AS (
+  SELECT layer, tr, tc, (r // 2) AS bi, (c // 2) AS bj,
+         SUM(val) / 4.0 AS bmean
+  FROM px GROUP BY layer, tr, tc, r // 2, c // 2
+),
+med AS (
+  SELECT layer, tr, tc, MEDIAN(bmean) AS m
+  FROM blocks GROUP BY layer, tr, tc
+),
+hs AS (
+  SELECT layer || '/' || tr || '/' || tc AS id,
+         SUM(CASE WHEN b.bmean > med.m THEN
+               CASE WHEN b.bi * 8 + b.bj = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << (b.bi * 8 + b.bj)) END
+             ELSE 0 END)::BIGINT AS h
+  FROM blocks b JOIN med USING (layer, tr, tc)
+  GROUP BY layer, tr, tc
+)"""
+
+
+def _image_phash_dedup_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    return _phash_tiles_cte() + _hamming_dedup_sql(
+        "image_id", max_hamming, bands
+    )
 
 
 def _lsh_cosine_oracle(bits: int = 16, dim: int = 64, bands: int = 4,
@@ -1259,6 +1423,102 @@ SELECT doc_id,
          / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS distinct_word_ratio
 FROM documents
 """,
+        "gopher_quality": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS ws,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         GREATEST(len(ws), 1) AS nw1,
+         list_sum(list_transform(ws, w -> len(w))) AS sum_wlen,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+         (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))
+           / 3.0 AS n_ell,
+         GREATEST(len(ls), 1) AS nl1,
+         len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+                                OR l LIKE '•%')) AS n_bullet,
+         len(list_filter(ls, l -> l LIKE '%...')) AS n_ell_lines,
+         len(list_intersect(list_distinct(ws),
+             ['the','a','of','and','to','in','is','it','that','for']))
+           AS stopword_hits
+  FROM base
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       COALESCE(sum_wlen, 0)::DOUBLE / nw1 AS mean_word_len,
+       (n_hash + n_ell)::DOUBLE / nw1 AS symbol_word_ratio,
+       n_bullet::DOUBLE / nl1 AS bullet_line_frac,
+       n_ell_lines::DOUBLE / nl1 AS ellipsis_line_frac,
+       n_alpha::DOUBLE / nw1 AS frac_alpha_words,
+       stopword_hits::BIGINT AS stopword_hits,
+       (n_words >= 10 AND n_words <= 100000
+        AND COALESCE(sum_wlen, 0)::DOUBLE / nw1 BETWEEN 3.0 AND 10.0
+        AND (n_hash + n_ell)::DOUBLE / nw1 <= 0.1
+        AND n_bullet::DOUBLE / nl1 <= 0.9
+        AND n_ell_lines::DOUBLE / nl1 <= 0.3
+        AND n_alpha::DOUBLE / nw1 >= 0.8
+        AND stopword_hits >= 2)::INT AS gopher_pass
+FROM m
+""",
+        "doc_repetition": r"""
+WITH ls AS (
+  SELECT doc_id, trim(l) AS l
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''
+),
+lstats AS (
+  SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT l) AS n_dist,
+         SUM(len(l)) AS total_chars
+  FROM ls GROUP BY doc_id
+),
+ldup AS (
+  SELECT doc_id, SUM((cnt - 1) * len(l)) AS dup_chars
+  FROM (SELECT doc_id, l, COUNT(*) AS cnt FROM ls GROUP BY doc_id, l)
+  GROUP BY doc_id
+),
+ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM ws WHERE len(w) >= 2
+),
+gtop AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, g ASC) AS rn
+    FROM grams GROUP BY doc_id, g
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_lines, 0)::BIGINT AS n_lines,
+       COALESCE((s.n_lines - s.n_dist)::DOUBLE
+                / GREATEST(s.n_lines, 1), 0.0) AS dup_line_frac,
+       COALESCE(ld.dup_chars::DOUBLE
+                / GREATEST(s.total_chars, 1), 0.0) AS dup_line_char_frac,
+       gt.g AS top_2gram,
+       COALESCE(gt.cnt, 0)::BIGINT AS top_2gram_count,
+       COALESCE(gt.cnt * len(gt.g), 0)::DOUBLE
+         / GREATEST(length(d.text), 1) AS top_2gram_char_frac
+FROM documents d
+LEFT JOIN lstats s USING (doc_id)
+LEFT JOIN ldup ld USING (doc_id)
+LEFT JOIN gtop gt USING (doc_id)
+""",
         "zonal_area_weighted": _FACTS_CTE + """
 SELECT feature_id,
        SUM(v * cov) / SUM(cov) AS awmean_v,
@@ -1503,6 +1763,8 @@ FROM documents
         "minhash_dedup": _minhash_dedup_oracle(),
         "minhash_sigs": _minhash_sigs_oracle(),
         "simhash": _SIMHASH_ORACLE,
+        "simhash_dedup": _simhash_dedup_oracle(),
+        "image_phash_dedup": _image_phash_dedup_oracle(),
         # lsh_cosine / image_features_png: rows-only (random-hyperplane
         # bucketing and PNG decode are not expressible portably in SQL)
     }

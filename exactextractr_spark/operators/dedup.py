@@ -383,6 +383,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: "int | None" = None,
+) -> DataFrame:
+    """All pairs of rows whose 64-bit ``hash_col`` values differ in at most
+    ``max_hamming`` bits, via a banded equi-join: the hash is split into
+    ``bands`` contiguous bit bands and candidates are pairs sharing at least
+    one exact band. With ``bands > max_hamming`` (the default, d+1) this is
+    EXACT by pigeonhole — d differing bits can corrupt at most d bands — so
+    unlike MinHash-LSH there is no recall loss. The join shuffles only
+    (id, band_idx, band_val) triples, never hash payload pairs; the exact
+    ``bit_count(xor)`` filter is JVM-side. Returns (id_a, id_b, hamming)
+    with id_a < id_b."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < 1 or bands > 64:
+        raise ValueError("bands must be in 1..64")
+    h = F.col(hash_col).cast("long")
+    keys = []
+    for b in range(bands):
+        s = 64 * b // bands
+        w = 64 * (b + 1) // bands - s
+        # arithmetic-vs-logical shift agree on the masked low w bits;
+        # w == 64 (bands == 1) is the whole hash — no mask fits a long
+        if w == 64:
+            val = h
+        else:
+            val = F.shiftrightunsigned(h, s).bitwiseAND(F.lit((1 << w) - 1))
+        keys.append(F.struct(F.lit(b).alias("bi"), val.alias("bv")))
+    ex = df.select(
+        F.col(id_col).alias("_id"), h.alias("_h"), F.explode(F.array(*keys)).alias("k")
+    )
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "k")
+    b2 = ex.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "k")
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        a.join(b2, on="k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
+
+
+def hamming_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: "int | None" = None,
+) -> DataFrame:
+    """Greedy-by-id near-duplicate dedup on a 64-bit hash column (SimHash
+    for documents, perceptual hash for images): a row is dropped when any
+    smaller-id row is within ``max_hamming`` bits; survivors carry
+    ``near_dups`` = their count of dropped larger-id neighbors. Same keep
+    rule as :func:`embedding_dedup`, and — because the banded candidate
+    join is pigeonhole-exact — fully deterministic and SQL-expressible."""
+    pairs = hamming_pairs(
+        df, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming, bands=bands
+    ).localCheckpoint(eager=True)  # consumed twice (drop set + counts)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count("*").alias("near_dups")
+    )
+    kept = df.select(id_col).join(dropped, on=id_col, how="left_anti")
+    return kept.join(counts, on=id_col, how="left").withColumn(
+        "near_dups", F.coalesce(F.col("near_dups"), F.lit(0)).cast("long")
+    )
+
+
+def image_phash_dedup(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: "int | None" = None,
+) -> DataFrame:
+    """Perceptual-hash image dedup: reuse the table's ``phash`` column when
+    present (the tile table carries one, sources/tiles.py), otherwise
+    decode + hash via :func:`multimodal.image_features`; then the exact
+    banded hamming dedup. The decode (when needed) is the only Python
+    stage; the dedup itself never leaves the JVM."""
+    if phash_col not in images.columns:
+        from .multimodal import image_features
+
+        images = image_features(images).select(id_col, F.col("phash").alias(phash_col))
+    return hamming_dedup(
+        images.select(id_col, phash_col),
+        id_col=id_col,
+        hash_col=phash_col,
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
 def embedding_dedup(
     items: DataFrame,
     threshold: float,

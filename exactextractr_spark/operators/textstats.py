@@ -76,6 +76,171 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _words(t):
+    """Non-empty lowercase whitespace tokens (shared tokenizer for the
+    quality/repetition rules; mirrored by the DuckDB oracles)."""
+    return F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda w: w != "")
+
+
+def _lines(t):
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda line: F.trim(line)),
+        lambda line: line != "",
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1): word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1,
+    bullet-started lines <= 90%, ellipsis-ended lines <= 30%, >= 80% of
+    words contain an alphabetic character, and >= 2 distinct stop words.
+
+    Entirely JVM-side higher-order-function expressions over per-row arrays
+    — zero shuffle, so the filter runs map-only at any corpus size; every
+    metric is mirrored bit-for-bit by an ANSI-SQL oracle."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    lines = _lines(t)
+    n_lines = F.size(lines)
+    nl1 = F.greatest(n_lines, F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: line.startswith("-")
+            | line.startswith("*")
+            | line.startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda line: line.endswith("...")))
+    sw = F.array([F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), sw))
+
+    mean_word_len = sum_wlen / nw1
+    symbol_word_ratio = (n_hash + n_ell) / nw1
+    frac_alpha_words = n_alpha / nw1
+    bullet_line_frac = n_bullet / nl1
+    ellipsis_line_frac = n_ell_lines / nl1
+    gopher_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_line_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+        & (frac_alpha_words >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return (
+        docs.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len.cast("double"))
+        .withColumn("symbol_word_ratio", symbol_word_ratio.cast("double"))
+        .withColumn("bullet_line_frac", bullet_line_frac.cast("double"))
+        .withColumn("ellipsis_line_frac", ellipsis_line_frac.cast("double"))
+        .withColumn("frac_alpha_words", frac_alpha_words.cast("double"))
+        .withColumn("stopword_hits", stop_hits.cast("long"))
+        .withColumn("gopher_pass", gopher_pass)
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText repetition
+    filters): fraction of duplicate lines, fraction of characters in
+    duplicate line occurrences (beyond each first), and the character
+    fraction covered by the most frequent word 2-gram (ties broken toward
+    the lexicographically smallest gram).
+
+    Computed per row with sorted-array folds (``aggregate`` over
+    ``array_sort``) — no explode, no shuffle: at 100 TB the repetition
+    filter stays a map-only stage instead of a corpus-wide groupBy."""
+    t = F.col(text_col)
+    lines = _lines(t)
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_line_frac = (n_lines - n_dist) / F.greatest(n_lines, F.lit(1))
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+    # chars in occurrences beyond the first of each distinct line: fold the
+    # sorted array, adding length(x) whenever x repeats its predecessor
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            (
+                s["dup"]
+                + F.when(x == s["prev"], F.length(x).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+        ),
+        lambda s: s["dup"],
+    )
+    dup_line_char_frac = dup_chars / F.greatest(total_line_chars, F.lit(1))
+
+    words = _words(t)
+    n_words = F.size(words)
+    grams = F.transform(
+        F.slice(words, F.lit(1), F.greatest(n_words - 1, F.lit(0))),
+        lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)),
+    )
+
+    def _merge(s, x):
+        run = F.when(x == s["prev"], s["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > s["bc"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(s["bc"]).alias("bc"),
+            F.when(better, x).otherwise(s["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit(None).cast("string").alias("bg"),
+        ),
+        _merge,
+        lambda s: F.struct(s["bc"].alias("bc"), s["bg"].alias("bg")),
+    )
+    top2_frac = F.coalesce(
+        top["bc"] * F.length(top["bg"]).cast("long"), F.lit(0).cast("long")
+    ) / F.greatest(F.length(t), F.lit(1))
+    return (
+        docs.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", dup_line_frac.cast("double"))
+        .withColumn("dup_line_char_frac", dup_line_char_frac.cast("double"))
+        .withColumn("top_2gram", top["bg"])
+        .withColumn("top_2gram_count", top["bc"].cast("long"))
+        .withColumn("top_2gram_char_frac", top2_frac.cast("double"))
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: 64-bit from xxhash64 of the
     normalized text (rolling-hash analog, collision-safe for dedup keys)."""

@@ -244,6 +244,160 @@ def test_text_stats(spark, docs):
     assert rows[1]["punct_ratio"] == 0.0
 
 
+def test_hamming_pairs_exact_vs_bruteforce(spark):
+    """bands = d+1 makes the banded join pigeonhole-EXACT: it must produce
+    exactly the brute-force pair set, including hashes that straddle the
+    sign bit."""
+    from exactextractr_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(-(2**63), 2**63, size=60, dtype=np.int64)
+    # plant near-dup clusters: copies of hash 0 with 0..5 flipped bits
+    for i, nflips in enumerate([0, 1, 3, 4, 5]):
+        h = int(hashes[0])
+        for b in rng.choice(64, size=nflips, replace=False):
+            h ^= 1 << int(b)
+        if h >= 2**63:
+            h -= 2**64
+        hashes[10 + i] = h
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], ["doc_id", "simhash"]
+    )
+    for d in (0, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, max_hamming=d).collect()
+        }
+        want = set()
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                ham = bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1")
+                if ham <= d:
+                    want.add((i, j, ham))
+        assert got == want, (d, got ^ want)
+
+
+def test_image_phash_dedup_finds_duplicate_tiles(spark):
+    """The weight raster (r+2c)%13 tiles repeat whenever tr+2*tc collides
+    mod 13; on a 3x3 tile grid tr+2*tc spans 0..6 with collisions
+    (2,0)=(0,1), (2,1)=(0,2) surviving as exact dups."""
+    from exactextractr_spark.operators.dedup import image_phash_dedup
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    n, t = 48, 16
+    r, c = np.divmod(np.arange(n * n).reshape(n, n), n)
+    arr = ((r + 2 * c) % 13).astype(np.float64)
+    meta = RasterMeta("w", xmin=0, ymax=n, dx=1, dy=1, width=n, height=n,
+                      tile_w=t, tile_h=t)
+    tiles = tile_table_from_array(spark, arr, meta)
+    out = {r["image_id"]: r["near_dups"]
+           for r in image_phash_dedup(tiles, max_hamming=0).collect()}
+    # exact-dup pairs: (tr,tc) with equal (tr+2tc) mod 13: (0,1)~(2,0),
+    # (0,2)~(2,1); lexicographically smaller image_id survives
+    assert "w/2/0" not in out and "w/2/1" not in out  # dropped (larger id)
+    assert out["w/0/1"] >= 1 and out["w/0/2"] >= 1    # keepers count their dups
+    assert out["w/0/0"] == 0
+    # survivors + dropped == 9 tiles
+    assert len(out) == 7
+
+    # phash column absent -> computed via decode path, same result
+    no_hash = tiles.drop("phash")
+    out2 = {r["image_id"]: r["near_dups"]
+            for r in image_phash_dedup(no_hash, max_hamming=0).collect()}
+    assert out2 == out
+
+
+def test_gopher_quality_rules(spark):
+    """Hand-computed goldens for each Gopher rule (Rae et al. 2021 A1.1)."""
+    from exactextractr_spark.operators.textstats import gopher_quality
+
+    good = "the quick brown fox and the lazy dog run to the old barn in town"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                             # passes with min_words=5
+            (2, "- one\n- two\n- three"),          # all bullet lines
+            (3, "now... wait... more..."),         # ellipsis lines + symbols
+            (4, "#tag #tag #tag"),                 # symbol-heavy, no stops
+            (5, "1 2 3 4 5 6 7 8 9 10"),           # no alphabetic words
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality(docs, min_words=5).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 15
+    assert r1["gopher_pass"] is True
+    assert r1["stopword_hits"] >= 2
+    assert abs(r1["frac_alpha_words"] - 1.0) < 1e-12
+
+    r2 = rows[2]
+    assert abs(r2["bullet_line_frac"] - 1.0) < 1e-12
+    assert r2["gopher_pass"] is False
+
+    r3 = rows[3]
+    assert abs(r3["ellipsis_line_frac"] - 1.0) < 1e-12
+    # 3 ellipses over 3 words -> symbol ratio 1.0
+    assert abs(r3["symbol_word_ratio"] - 1.0) < 1e-12
+    assert r3["gopher_pass"] is False
+
+    r4 = rows[4]
+    assert abs(r4["symbol_word_ratio"] - 1.0) < 1e-12
+    assert r4["stopword_hits"] == 0
+    assert r4["gopher_pass"] is False
+
+    r5 = rows[5]
+    assert abs(r5["frac_alpha_words"]) < 1e-12
+    assert r5["gopher_pass"] is False
+
+
+def test_repetition_stats_goldens(spark):
+    from exactextractr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'aa bb' repeated twice (10 of 17 chars incl \n)
+            (1, "aa bb\ncc\naa bb\ndd"),
+            # no repetition at all
+            (2, "one two three"),
+            # 'x y' appears 3 times as a 2-gram: 'x y x y x y' grams are
+            # [x y, y x, x y, y x, x y] -> top = 'x y' (count 3)
+            (3, "x y x y x y"),
+            (4, ""),                                # empty doc
+            (5, "single"),                          # no grams, one line
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 4
+    assert abs(r1["dup_line_frac"] - 1.0 / 4.0) < 1e-12
+    # duplicate occurrences beyond first: one 'aa bb' (5 chars) of 14 line chars
+    assert abs(r1["dup_line_char_frac"] - 5.0 / 14.0) < 1e-12
+
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_2gram_count"] == 1  # 'one two' and 'two three' tie -> smallest
+    assert r2["top_2gram"] == "one two"
+
+    r3 = rows[3]
+    assert r3["top_2gram"] == "x y"
+    assert r3["top_2gram_count"] == 3
+    # 3 * len('x y') / len('x y x y x y') = 9/11
+    assert abs(r3["top_2gram_char_frac"] - 9.0 / 11.0) < 1e-12
+
+    r4 = rows[4]
+    assert r4["n_lines"] == 0
+    assert r4["dup_line_frac"] == 0.0
+    assert r4["top_2gram_char_frac"] == 0.0
+    assert r4["top_2gram"] is None
+
+    r5 = rows[5]
+    assert r5["top_2gram_count"] == 0
+    assert r5["top_2gram"] is None
+
+
 def test_knn_matches_bruteforce(spark):
     from exactextractr_spark.operators.knn import knn_points
 

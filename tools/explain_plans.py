@@ -130,6 +130,31 @@ def main():
             "dot products, window top-k. The LSH variant (lsh_cosine) "
             "replaces the broadcast-cross with a (band, bucket) equi-join.",
         ),
+        "gopher_quality": (
+            "Gopher quality filter rules",
+            "MUST be a single map-only stage: one parquet scan -> one "
+            "Project of higher-order-function expressions (filter/aggregate "
+            "over per-row word/line arrays) -> output. No Exchange, no "
+            "Python — at 100 TB the quality filter costs exactly one pass "
+            "over the corpus.",
+        ),
+        "doc_repetition": (
+            "Intra-document repetition stats",
+            "Same map-only shape: dup-line and top-2-gram metrics are "
+            "sorted-array folds WITHIN each row (array_sort + aggregate), "
+            "never an explode + groupBy(doc_id) — the naive plan would "
+            "shuffle every line/gram of the corpus; this one shuffles "
+            "nothing.",
+        ),
+        "simhash_dedup": (
+            "SimHash hamming near-dup dedup",
+            "Banded candidate join: each 64-bit hash explodes into "
+            "(band_idx, band_val) keys via shiftrightunsigned arithmetic "
+            "(Project, not Python), the self-equi-join shuffles only those "
+            "slim triples, and bit_count(xor) filters exactly. bands > "
+            "max_hamming makes candidate recall 1.0 by pigeonhole — an "
+            "EXACT near-dup join that never goes all-pairs.",
+        ),
     }
 
     for name, (title, commentary) in picks.items():

@@ -49,6 +49,23 @@ def _tokenize(text: str) -> "list[bytes]":
     return text.encode("utf-8", "ignore").translate(_BTRANS).split()
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow input before a Python signature stage.
+
+    mapInPandas inherits the scan's partitioning, so a corpus stored as one
+    (or few) parquet row groups runs the whole signature UDF on one core.
+    At real scale the input has far more splits than cores and this gate
+    never fires; below that, one round-robin shuffle of the raw text buys
+    full-core hashing. No determinism cost: signatures are per-row."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass  # Spark Connect: no sparkContext/rdd — keep the plan as-is
+    return df
+
+
 # Wraparound-uint64 polynomial base for combining token hashes into shingle
 # hashes (odd constant => bijective multiply mod 2^64).
 _POLY_P = np.uint64(0x9E3779B97F4A7C15)
@@ -190,7 +207,7 @@ def minhash_signatures(
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    return docs.select(id_col, text_col).mapInPandas(_sig, schema)
+    return _spread(docs.select(id_col, text_col)).mapInPandas(_sig, schema)
 
 
 def minhash_lsh_pairs(
@@ -307,7 +324,7 @@ def simhash64(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("simhash", T.LongType())]
     )
-    return docs.select(id_col, text_col).mapInPandas(_sim, schema)
+    return _spread(docs.select(id_col, text_col)).mapInPandas(_sim, schema)
 
 
 def ngram_jaccard_pairs(
@@ -445,16 +462,47 @@ def hamming_dedup(
     ``near_dups`` = their count of dropped larger-id neighbors. Same keep
     rule as :func:`embedding_dedup`, and — because the banded candidate
     join is pigeonhole-exact — fully deterministic and SQL-expressible."""
+    # the hash frame feeds both the candidate join and the survivor
+    # anti-join; when it ends in a Python signature stage (simhash64),
+    # checkpointing computes that stage ONCE instead of per consumer.
+    # Bounded: 16 bytes/row regardless of document size.
+    df = df.select(id_col, hash_col).localCheckpoint(eager=True)
     pairs = hamming_pairs(
         df, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming, bands=bands
-    ).localCheckpoint(eager=True)  # consumed twice (drop set + counts)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
-        F.count("*").alias("near_dups")
     )
-    kept = df.select(id_col).join(dropped, on=id_col, how="left_anti")
-    return kept.join(counts, on=id_col, how="left").withColumn(
-        "near_dups", F.coalesce(F.col("near_dups"), F.lit(0)).cast("long")
+    return _greedy_keep(df, pairs, id_col)
+
+
+def _greedy_keep(items: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Greedy-by-id survivor selection from an (id_a < id_b) near-dup pair
+    stream: a row is dropped iff it ever appears as ``id_b``; survivors
+    carry ``near_dups`` = their count of ``id_a`` appearances.
+
+    Drop set and neighbor counts come from ONE aggregation over the pair
+    stream (``min(as_a)==0`` ⇔ ever an id_b), so ``pairs`` is consumed
+    exactly once — no checkpoint or second shuffle of the pair set, which
+    at corpus scale means the expensive candidate join materializes once."""
+    agg = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias(id_col), F.lit(1).alias("as_a")),
+                    F.struct(F.col("id_b").alias(id_col), F.lit(0).alias("as_a")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .groupBy(id_col)
+        .agg(F.sum("as_a").alias("_na"), F.min("as_a").alias("_survives"))
+    )
+    return (
+        items.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .filter(F.coalesce(F.col("_survives"), F.lit(1)) == 1)
+        .select(
+            id_col,
+            F.coalesce(F.col("_na"), F.lit(0)).cast("long").alias("near_dups"),
+        )
     )
 
 
@@ -576,17 +624,4 @@ def embedding_dedup(
         ).filter(F.col("cos_sim") >= F.lit(threshold)).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    # pairs is consumed twice (drop set + neighbor counts).  localCheckpoint
-    # instead of persist(): one eager computation whose blocks are released
-    # when the result is GC'd, so repeated calls in a long session don't
-    # leak CacheManager entries.
-    pairs = pairs.localCheckpoint(eager=True)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
-        F.count("*").alias("near_dups")
-    )
-    kept = items.select(id_col).join(dropped, on=id_col, how="left_anti")
-    return (
-        kept.join(counts, on=id_col, how="left")
-        .withColumn("near_dups", F.coalesce("near_dups", F.lit(0)))
-    )
+    return _greedy_keep(items, pairs, id_col)

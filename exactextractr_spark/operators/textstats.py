@@ -167,13 +167,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the lexicographically smallest gram).
 
     Computed per row with sorted-array folds (``aggregate`` over
-    ``array_sort``) — no explode, no shuffle: at 100 TB the repetition
-    filter stays a map-only stage instead of a corpus-wide groupBy."""
+    ``array_sort``) — no explode-per-line, no shuffle: at 100 TB the
+    repetition filter stays a map-only stage instead of a corpus-wide
+    groupBy. Two plan-shape details matter: (1) 2-grams come from
+    ``zip_with(words, slice(words, 2, ...))`` — both array arguments are
+    bound ONCE, where an ``element_at(words, i+2)`` lambda would re-split
+    the text per element (O(n²) interpreted evaluation); (2) all heavy
+    intermediates ride through ONE single-element ``explode(array(struct))``
+    Generate barrier, which CollapseProject cannot merge through, so each
+    sort+fold is evaluated once per row instead of once per referencing
+    output column (higher-order functions are CodegenFallback, and the
+    duplicated trees' distinct lambda-variable ids defeat subexpression
+    elimination)."""
     t = F.col(text_col)
     lines = _lines(t)
-    n_lines = F.size(lines)
-    n_dist = F.size(F.array_distinct(lines))
-    dup_line_frac = (n_lines - n_dist) / F.greatest(n_lines, F.lit(1))
     total_line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
     )
@@ -196,13 +203,17 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda s: s["dup"],
     )
-    dup_line_char_frac = dup_chars / F.greatest(total_line_chars, F.lit(1))
-
     words = _words(t)
     n_words = F.size(words)
-    grams = F.transform(
-        F.slice(words, F.lit(1), F.greatest(n_words - 1, F.lit(0))),
-        lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)),
+    # zip each word with its successor: slice pads the second array one
+    # short, zip_with extends it with null, the null pair filters away
+    grams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, F.lit(2), F.greatest(n_words - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda g: g.isNotNull(),
     )
 
     def _merge(s, x):
@@ -228,16 +239,34 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _merge,
         lambda s: F.struct(s["bc"].alias("bc"), s["bg"].alias("bg")),
     )
+    # single-element Generate barrier: every heavy intermediate computed once
+    rep = F.struct(
+        F.size(lines).alias("nl"),
+        F.size(F.array_distinct(lines)).alias("nd"),
+        dup_chars.alias("dc"),
+        total_line_chars.alias("tc"),
+        top.alias("top"),
+    )
+    staged = docs.withColumn("_rep", F.explode(F.array(rep)))
+    r = F.col("_rep")
     top2_frac = F.coalesce(
-        top["bc"] * F.length(top["bg"]).cast("long"), F.lit(0).cast("long")
+        r["top"]["bc"] * F.length(r["top"]["bg"]).cast("long"),
+        F.lit(0).cast("long"),
     ) / F.greatest(F.length(t), F.lit(1))
     return (
-        docs.withColumn("n_lines", n_lines.cast("long"))
-        .withColumn("dup_line_frac", dup_line_frac.cast("double"))
-        .withColumn("dup_line_char_frac", dup_line_char_frac.cast("double"))
-        .withColumn("top_2gram", top["bg"])
-        .withColumn("top_2gram_count", top["bc"].cast("long"))
+        staged.withColumn("n_lines", r["nl"].cast("long"))
+        .withColumn(
+            "dup_line_frac",
+            ((r["nl"] - r["nd"]) / F.greatest(r["nl"], F.lit(1))).cast("double"),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            (r["dc"] / F.greatest(r["tc"], F.lit(1))).cast("double"),
+        )
+        .withColumn("top_2gram", r["top"]["bg"])
+        .withColumn("top_2gram_count", r["top"]["bc"].cast("long"))
         .withColumn("top_2gram_char_frac", top2_frac.cast("double"))
+        .drop("_rep")
     )
 
 

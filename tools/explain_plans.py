@@ -70,8 +70,10 @@ def main():
         "embedding_dedup": (
             "Embedding-cosine near-dup dedup (greedy-by-id)",
             "Exact mode: id-ordered nested-loop pair scoring (JVM fold "
-            "cosine), one localCheckpoint of the thresholded pairs (blocks GC-released, no CacheManager leak) feeding the "
-            "anti-join drop set and the neighbor counts. The LSH mode "
+            "cosine); the pair stream feeds ONE aggregation that derives "
+            "both the drop set (min(as_a)==0 ⇔ ever an id_b) and the "
+            "neighbor counts, so the expensive pair computation runs "
+            "exactly once — no checkpoint, no second scan. The LSH mode "
             "swaps the pair source for a (band, bucket) equi-join "
             "(similarity.band_key_udf) — never all-pairs at scale.",
         ),
@@ -153,7 +155,12 @@ def main():
             "(Project, not Python), the self-equi-join shuffles only those "
             "slim triples, and bit_count(xor) filters exactly. bands > "
             "max_hamming makes candidate recall 1.0 by pigeonhole — an "
-            "EXACT near-dup join that never goes all-pairs.",
+            "EXACT near-dup join that never goes all-pairs. The hash "
+            "frame (16 B/row) is checkpointed so the Python signature "
+            "stage runs once; survivor selection is ONE aggregation over "
+            "the pair stream (drop set + neighbor counts together), so "
+            "the candidate join itself is never recomputed or "
+            "checkpointed.",
         ),
     }
 

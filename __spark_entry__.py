@@ -813,16 +813,21 @@ def _q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (PNG decode not expressible in SQL): decode + feature
-    extraction over the synthetic image tile table."""
+    """Decode + feature extraction over the synthetic image tile table.
+    Oracle-checked bit-exactly: the tile pixels derive from an arithmetic
+    formula, so DuckDB re-computes mean_px (integer pixel sums are exact
+    in float64; /256 is dyadic) and the 64-bit pHash (2x2 block sums +
+    dyadic median) from scratch — the PNG decode itself is the only step
+    the oracle can't replay, and any decode error would corrupt every
+    downstream value. std_px stays pytest-only: its sum-of-squares
+    rounding depends on numpy's pairwise summation order, which SQL
+    cannot replicate bit-for-bit."""
     _tune(spark)
     from exactextractr_spark.operators.multimodal import image_features
 
     raster = _synth_raster(spark)
     feats = image_features(raster._raw)
-    return feats.select(
-        "image_id", "h", "w", "mean_px", "std_px", "phash"
-    )
+    return feats.select("image_id", "h", "w", "mean_px", "phash")
 
 
 # ---------------------------------------------------------------------------
@@ -1122,6 +1127,24 @@ def _image_phash_dedup_oracle(max_hamming: int = 3, bands: int = 4) -> str:
     return _phash_tiles_cte() + _hamming_dedup_sql(
         "image_id", max_hamming, bands
     )
+
+
+def _image_features_oracle() -> str:
+    """Re-derives image_features over the 'v' raster tiles: mean_px =
+    SUM(val)/256 (integer sum <= 96*256 is float64-exact in any order;
+    /256 dyadic), pHash via the shared tiles CTE. The PNG decode is the
+    only step not replayed — a decode error would corrupt every value."""
+    return _phash_tiles_cte() + """
+, mp AS (
+  SELECT 'v/' || tr || '/' || tc AS image_id,
+         CAST(16 AS INTEGER) AS h, CAST(16 AS INTEGER) AS w,
+         SUM(val)::DOUBLE / 256.0 AS mean_px
+  FROM px WHERE layer = 'v'
+  GROUP BY tr, tc
+)
+SELECT mp.image_id, mp.h, mp.w, mp.mean_px, hs.h AS phash
+FROM mp JOIN hs ON hs.id = mp.image_id
+"""
 
 
 def _lsh_cosine_oracle(bits: int = 16, dim: int = 64, bands: int = 4,
@@ -1765,6 +1788,5 @@ FROM documents
         "simhash": _SIMHASH_ORACLE,
         "simhash_dedup": _simhash_dedup_oracle(),
         "image_phash_dedup": _image_phash_dedup_oracle(),
-        # lsh_cosine / image_features_png: rows-only (random-hyperplane
-        # bucketing and PNG decode are not expressible portably in SQL)
+        "image_features_png": _image_features_oracle(),
     }

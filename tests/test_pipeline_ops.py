@@ -864,3 +864,89 @@ def test_ivf_cosine_first_init_untrained(spark):
 
     with _pytest.raises(ValueError, match="init"):
         train_ivf_centroids(items, 8, init="bogus")
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Cross-micro-batch duplicates are dropped by the state store; the
+    surviving content-key set matches batch exact_dedup on the same data."""
+    from exactextractr_spark.operators.dedup import exact_dedup
+    from exactextractr_spark.streaming.dedup_stream import stream_exact_dedup
+
+    file_a = [
+        (1, "alpha text one"),
+        (2, "beta text two"),
+        (3, "gamma text three"),
+        (4, "delta text four"),
+        (5, "echo   text five"),
+        (6, "ECHO text FIVE"),  # within-batch dup of 5 (after normalize)
+    ]
+    file_b = [
+        (7, "alpha text one"),   # cross-batch dup of 1
+        (8, "zeta text six"),
+        (9, "eta text seven"),
+        (10, "Beta  text TWO"),  # cross-batch dup of 2 (after normalize)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(file_a, ["doc_id", "text"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(file_b, ["doc_id", "text"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "kept")
+    q = stream_exact_dedup(
+        spark, src, sink, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    kept = spark.read.parquet(sink)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+
+    # 7 distinct normalized texts; cross-batch dups 7 and 10 are dropped,
+    # their first-arrived twins 1 and 2 survive; exactly one of {5, 6}.
+    assert len(ids) == 7
+    assert 1 in ids and 2 in ids
+    assert 7 not in ids and 10 not in ids
+    assert (5 in ids) != (6 in ids)
+
+    # surviving content-key set == batch exact_dedup's (id choice differs
+    # only on the within-batch pair, where streaming is arrival-order)
+    all_docs = spark.read.parquet(src)
+    batch_keys = {
+        r["h"]
+        for r in exact_dedup(all_docs)
+        .select(F.sha2(F.lower(F.regexp_replace("text", r"\s+", " ")), 256)
+                .alias("h")).collect()
+    }
+    stream_keys = {
+        r["h"]
+        for r in kept
+        .select(F.sha2(F.lower(F.regexp_replace("text", r"\s+", " ")), 256)
+                .alias("h")).collect()
+    }
+    assert stream_keys == batch_keys
+
+
+def test_streaming_exact_dedup_watermarked(spark, tmp_path):
+    """TTL mode: dropDuplicatesWithinWatermark bounds state by the event-time
+    window; dups inside the window are still dropped exactly."""
+    import datetime as dt
+
+    from exactextractr_spark.streaming.dedup_stream import stream_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    file_a = [(1, "alpha text", t0), (2, "beta text", t0)]
+    file_b = [(3, "alpha text", t0 + dt.timedelta(minutes=1)),
+              (4, "gamma text", t0 + dt.timedelta(minutes=1))]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(file_a, ["doc_id", "text", "ts"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(file_b, ["doc_id", "text", "ts"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "kept")
+    q = stream_exact_dedup(
+        spark, src, sink, str(tmp_path / "ck"),
+        ts_col="ts", watermark_delay="10 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 2, 4]  # 3 is an in-window dup of 1

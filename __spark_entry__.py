@@ -725,6 +725,60 @@ def _q_image_resize_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(_decode, schema)
 
 
+def _q_image_augment_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-training augmentation fan-out: decode -> deterministic
+    geometric ops (hflip / rot90 / transpose) -> re-encode per tile, then
+    decode the outputs and emit pixels. Exact oracle: every op is a pure
+    index permutation of the synthetic (cell % 97) field, so DuckDB
+    re-derives each augmented pixel by index algebra."""
+    _tune(spark)
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from exactextractr_spark.operators.multimodal import image_augment
+
+    tiles = _synth_raster(spark)._raw  # 3x3 tiles of 16x16
+    aug = image_augment(tiles, ["hflip", "rot90", "transpose"])
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from exactextractr_spark.core.png import decode_tile
+
+        for pdf in batches:
+            out = []
+            for iid, data, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                arr = decode_tile(bytes(data), int(w), int(h))
+                ii, jj = np.mgrid[0 : int(h), 0 : int(w)]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": iid,
+                            "i": ii.ravel().astype(np.int64),
+                            "j": jj.ravel().astype(np.int64),
+                            "px": arr.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return aug.mapInPandas(_decode, schema)
+
+
 def _q_udf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD(A)F surface (the reference's R-function path, R/exact_extract.R:
     585-721): a user applyInPandas function over the per-feature pixel
@@ -881,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_lengths": _q_line_lengths,
         "line_stats": _q_line_stats,
         "image_resize_px": _q_image_resize_px,
+        "image_augment_px": _q_image_augment_px,
     }
 
 
@@ -1751,6 +1806,29 @@ SELECT 'v/' || tr || '/' || tc AS image_id, i, j,
        + CAST(((tr*{TILE} + 2*i + 1) * {GRID_N} + tc*{TILE} + 2*j + 1) % 97 AS DOUBLE)
        ) / 4.0 AS px
 FROM tiles, cells
+""",
+        "image_augment_px": f"""
+WITH tiles AS (
+  SELECT CAST(k // 3 AS BIGINT) AS tr, CAST(k % 3 AS BIGINT) AS tc
+  FROM range(9) t(k)
+), cells AS (
+  SELECT CAST(m // {TILE} AS BIGINT) AS i, CAST(m % {TILE} AS BIGINT) AS j
+  FROM range({TILE * TILE}) u(m)
+), ops AS (
+  SELECT * FROM (VALUES ('hflip'), ('rot90'), ('transpose')) o(op)
+), src AS (
+  -- augmented pixel (i, j) pulls source pixel (r, c) by pure index algebra:
+  -- hflip (i, W-1-j); rot90 CCW (j, W-1-i); transpose (j, i)
+  SELECT tr, tc, i, j, op,
+         CASE op WHEN 'hflip' THEN i ELSE j END AS r,
+         CASE op WHEN 'hflip' THEN {TILE - 1} - j
+                 WHEN 'rot90' THEN {TILE - 1} - i
+                 ELSE i END AS c
+  FROM tiles, cells, ops
+)
+SELECT 'v/' || tr || '/' || tc || '#' || op AS image_id, i, j,
+       CAST(((tr*{TILE} + r) * {GRID_N} + tc*{TILE} + c) % 97 AS DOUBLE) AS px
+FROM src
 """,
         "lang_id": r"""
 WITH w AS (

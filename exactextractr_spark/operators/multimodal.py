@@ -264,6 +264,76 @@ def image_resize(
     )
 
 
+_AUG_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "transpose")
+
+
+def image_augment(images: DataFrame, ops: "list[str]") -> DataFrame:
+    """Decode → deterministic geometric augmentations → re-encode, one
+    Arrow-batched pass: the vision-training fan-out (each input image yields
+    one output row per op, ``image_id`` suffixed ``#<op>``). All ops are
+    pure index permutations (no interpolation), so augmented pixels are
+    bit-exact rearrangements of the source — independently verifiable by
+    index algebra. Emits the image-table shape (id, bytes, w, h, fmt) so
+    augmented tables compose with every downstream operator. rot90/rot270
+    follow numpy's counter-clockwise convention; w/h swap for the
+    quarter-turn and transpose ops."""
+    from ..core.png import encode_tile
+
+    bad = [o for o in ops if o not in _AUG_OPS]
+    if bad:
+        raise ValueError(f"unknown augment op(s) {bad}; supported: {_AUG_OPS}")
+    if not ops:
+        raise ValueError("ops must name at least one augmentation")
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    ops = list(ops)
+
+    def _apply(px: np.ndarray, op: str) -> np.ndarray:
+        if op == "hflip":
+            return px[:, ::-1]
+        if op == "vflip":
+            return px[::-1]
+        if op == "rot90":
+            return np.rot90(px, 1)
+        if op == "rot180":
+            return np.rot90(px, 2)
+        if op == "rot270":
+            return np.rot90(px, 3)
+        return px.T  # transpose
+
+    def _aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = _decode_any(bytes(data), str(fmt), int(w), int(h))
+                for op in ops:
+                    out = np.ascontiguousarray(_apply(px, op))
+                    rows.append(
+                        {
+                            "image_id": f"{iid}#{op}",
+                            "bytes": encode_tile(out),
+                            "w": out.shape[1],
+                            "h": out.shape[0],
+                            "fmt": "png",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _aug, schema
+    )
+
+
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits (video_id, frame_idx) rows for
     frames to decode. Decode itself is stubbed (no video codec here), but

@@ -950,3 +950,41 @@ def test_streaming_exact_dedup_watermarked(spark, tmp_path):
     q.awaitTermination(180)
     ids = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert ids == [1, 2, 4]  # 3 is an in-window dup of 1
+
+
+def test_image_augment_bit_exact_permutations(spark):
+    """Every augmentation op is a pure index permutation: decoded outputs
+    match the numpy reference bit-for-bit; quarter-turns swap w/h; the
+    fan-out emits one row per (image x op) with suffixed ids."""
+    from exactextractr_spark.core.png import decode_tile
+    from exactextractr_spark.operators.multimodal import _AUG_OPS, image_augment
+    from exactextractr_spark.sources.tiles import RasterMeta, tile_table_from_array
+
+    rng = np.random.default_rng(11)
+    arr = rng.standard_normal((8, 12)).astype(np.float64)  # non-square
+    meta = RasterMeta("img", xmin=0, ymax=8, dx=1, dy=1, width=12, height=8,
+                      tile_w=12, tile_h=8)
+    tiles = tile_table_from_array(spark, arr, meta)
+    rows = {r["image_id"]: r for r in image_augment(tiles, list(_AUG_OPS)).collect()}
+    assert set(rows) == {f"img/0/0#{op}" for op in _AUG_OPS}
+
+    want = {
+        "hflip": arr[:, ::-1],
+        "vflip": arr[::-1],
+        "rot90": np.rot90(arr, 1),
+        "rot180": np.rot90(arr, 2),
+        "rot270": np.rot90(arr, 3),
+        "transpose": arr.T,
+    }
+    for op, ref in want.items():
+        r = rows[f"img/0/0#{op}"]
+        assert (r["h"], r["w"]) == ref.shape, op
+        px = decode_tile(bytes(r["bytes"]), r["w"], r["h"])
+        assert np.array_equal(px, ref), op
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown augment"):
+        image_augment(tiles, ["hflip", "zoom"])
+    with _pytest.raises(ValueError, match="at least one"):
+        image_augment(tiles, [])

@@ -988,3 +988,45 @@ def test_image_augment_bit_exact_permutations(spark):
         image_augment(tiles, ["hflip", "zoom"])
     with _pytest.raises(ValueError, match="at least one"):
         image_augment(tiles, [])
+
+
+def test_streaming_cosine_topk_matches_batch(spark, tmp_path):
+    """Running top-k state merged across micro-batches == batch cosine_topk
+    over the same items (ties broken identically on lowest id)."""
+    from exactextractr_spark.operators.similarity import cosine_topk
+    from exactextractr_spark.streaming.similarity_stream import stream_cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 12)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    items = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    src = str(tmp_path / "items")
+    # three file chunks -> three micro-batches with maxFilesPerTrigger=1
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        spark.createDataFrame(rows[lo:hi], ["vec_id", "embedding"]) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    q = stream_cosine_topk(
+        spark, src, queries, 5, str(tmp_path / "ck"),
+        query_name="topk_t", max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    snap = spark.table("topk_t").collect()
+    maxes = {}
+    for r in snap:
+        maxes[r["qid"]] = max(maxes.get(r["qid"], 0), r["n_seen"])
+    latest = [r for r in snap if r["n_seen"] == maxes[r["qid"]]]
+    got = {(r["qid"], r["rank"]): (r["item_id"], r["cos_sim"])
+           for r in latest}
+    want = {(r["qid"], r["rank"]): (r["item_id"], r["cos_sim"])
+            for r in cosine_topk(items, queries, 5).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == pytest.approx(want[key][1], rel=1e-12), key
+    # every query saw all 60 items
+    assert set(maxes.values()) == {60}

@@ -102,7 +102,13 @@ _WGS84_CONSTS = (_A_BAR, _ALPHA, _BETA, _DELTA, _E_SQRTN)
 
 
 def _norm(crs: str) -> str:
-    c = (crs or "").strip().upper().replace(" ", "")
+    raw = (crs or "").strip()
+    head = raw[:16].upper().replace(" ", "")
+    if head.startswith(("PROJCS[", "GEOGCS[")):
+        # WKT1 parameter CRS (.prj sidecars, GeoTIFF citations): resolve to
+        # an EPSG code or proj parameter string, then normalize that
+        raw = wkt_to_projstr(raw)
+    c = raw.strip().upper().replace(" ", "")
     if c in ("EPSG:4326", "WGS84", "CRS:84", "OGC:CRS84"):
         return "EPSG:4326"
     if c in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
@@ -136,7 +142,10 @@ def _utm_zone(crs: str) -> "tuple[int, bool] | None":
 
 
 def _supported(crs: str) -> bool:
-    c = _norm(crs)
+    try:
+        c = _norm(crs)
+    except ValueError:
+        return False  # WKT this module can't interpret
     if (
         c in ("EPSG:4326", "EPSG:3857")
         or _utm_zone(c) is not None
@@ -156,7 +165,10 @@ def _supported(crs: str) -> bool:
 
 
 def can_transform(src: str, dst: str) -> bool:
-    a, b = _norm(src), _norm(dst)
+    try:
+        a, b = _norm(src), _norm(dst)
+    except ValueError:
+        return False  # WKT this module can't interpret
     return a == b or (_supported(a) and _supported(b))
 
 
@@ -866,6 +878,248 @@ _ELLPS = {
 }
 
 _IDENT_HELM = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# WKT1 ingestion — PROJCS/GEOGCS parameter WKT (the .prj-sidecar and GeoTIFF
+# citation form) converts to the proj-string family above, so files carrying
+# projection PARAMETERs instead of an EPSG code resolve like the reference
+# does via PROJ (R/exact_extract.R:360-377). Pure plumbing: the projection
+# math is the closed-form family already implemented.
+# ---------------------------------------------------------------------------
+
+
+def _wkt_node(s: str, i: int = 0):
+    """Parse one WKT1 node ``NAME[arg, ...]`` starting at index i.
+    Returns (name, args, next_i); args are str (quoted), float (numeric)
+    or nested (name, args) tuples. Tolerant of ESRI spacing."""
+    while i < len(s) and s[i] in " \t\r\n,":
+        i += 1
+    j = i
+    while j < len(s) and (s[j].isalnum() or s[j] == "_"):
+        j += 1
+    name = s[i:j].upper()
+    while j < len(s) and s[j] in " \t\r\n":
+        j += 1
+    if j >= len(s) or s[j] != "[":
+        raise ValueError(f"malformed WKT near index {i}: {s[i:i+40]!r}")
+    j += 1
+    args: list = []
+    while True:
+        while j < len(s) and s[j] in " \t\r\n,":
+            j += 1
+        if j >= len(s):
+            raise ValueError("unterminated WKT node")
+        ch = s[j]
+        if ch == "]":
+            return name, args, j + 1
+        if ch == '"':
+            k = s.index('"', j + 1)
+            args.append(s[j + 1 : k])
+            j = k + 1
+        elif ch.isalpha():
+            sub_name, sub_args, j = _wkt_node(s, j)
+            args.append((sub_name, sub_args))
+        else:
+            k = j
+            while k < len(s) and s[k] not in ",]":
+                k += 1
+            args.append(float(s[j:k].strip()))
+            j = k
+    raise AssertionError  # pragma: no cover
+
+
+def _wkt_children(args: list, name: str) -> list:
+    return [a[1] for a in args if isinstance(a, tuple) and a[0] == name]
+
+
+def _wkt_authority_epsg(args: list) -> "int | None":
+    for auth in _wkt_children(args, "AUTHORITY"):
+        if len(auth) >= 2 and str(auth[0]).upper() == "EPSG":
+            try:
+                return int(str(auth[1]))
+            except ValueError:
+                pass
+    return None
+
+
+_WKT_PROJ_NAMES = {
+    "TRANSVERSE_MERCATOR": "tmerc",
+    "GAUSS_KRUGER": "tmerc",
+    "MERCATOR": "merc",
+    "MERCATOR_1SP": "merc",
+    "MERCATOR_2SP": "merc",
+    "MERCATOR_AUXILIARY_SPHERE": "merc",
+    "LAMBERT_CONFORMAL_CONIC": "lcc",
+    "LAMBERT_CONFORMAL_CONIC_1SP": "lcc",
+    "LAMBERT_CONFORMAL_CONIC_2SP": "lcc",
+    "ALBERS": "aea",
+    "ALBERS_CONIC_EQUAL_AREA": "aea",
+    "LAMBERT_AZIMUTHAL_EQUAL_AREA": "laea",
+    "POLAR_STEREOGRAPHIC": "stere",
+    "STEREOGRAPHIC_NORTH_POLE": "stere",
+    "STEREOGRAPHIC_SOUTH_POLE": "stere",
+    "SINUSOIDAL": "sinu",
+    "CYLINDRICAL_EQUAL_AREA": "cea",
+    "HOTINE_OBLIQUE_MERCATOR": "omerc",
+    "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "omerc",
+    "OBLIQUE_MERCATOR": "omerc",
+}
+
+
+def _wkt_geogcs_is_wgs84_family(gargs: list) -> bool:
+    """True when the GEOGCS ellipsoid is WGS84/GRS80-sized — the datums
+    this module treats as coincident (WGS84/NAD83/ETRS89, the same
+    no-deformation-model equivalence PROJ assumes)."""
+    for datum in _wkt_children(gargs, "DATUM"):
+        for sph in (_wkt_children(datum, "SPHEROID")
+                    + _wkt_children(datum, "ELLIPSOID")):
+            if len(sph) >= 3:
+                a, rf = float(sph[1]), float(sph[2])
+                return abs(a - _R) < 0.5 and abs(rf - 298.25) < 0.1
+    return False
+
+
+def wkt_to_projstr(wkt: str) -> str:
+    """Convert WKT1 (PROJCS/GEOGCS — OGC or ESRI flavor) to this module's
+    CRS vocabulary: the outermost AUTHORITY EPSG code when that code is
+    directly supported, else a proj parameter string built from the
+    PROJECTION/PARAMETER/SPHEROID nodes. Raises ValueError for WKT this
+    module cannot faithfully interpret (unknown projection method,
+    non-degree angular units, non-Greenwich prime meridian)."""
+    name, args, _ = _wkt_node(wkt)
+    epsg = _wkt_authority_epsg(args)
+    if epsg is not None and _supported_non_wkt(f"EPSG:{epsg}"):
+        return f"EPSG:{epsg}"
+    if name in ("GEOGCS", "GEOGCRS"):
+        if name == "GEOGCS" and _wkt_geogcs_is_wgs84_family(args):
+            return "EPSG:4326"
+        raise ValueError(
+            "geographic WKT CRS is not in the WGS84/GRS80 family (or is "
+            "WKT2); only WGS84-equivalent datums are supported"
+        )
+    if name != "PROJCS":
+        raise ValueError(
+            f"unsupported WKT node {name!r} (WKT1 PROJCS/GEOGCS only)"
+        )
+
+    geogs = _wkt_children(args, "GEOGCS")
+    if not geogs:
+        raise ValueError("PROJCS without a GEOGCS node")
+    gargs = geogs[0]
+    for pm in _wkt_children(gargs, "PRIMEM"):
+        if len(pm) >= 2 and abs(float(pm[1])) > 1e-9:
+            raise ValueError("non-Greenwich prime meridian not supported")
+    for gu in _wkt_children(gargs, "UNIT"):
+        if len(gu) >= 2 and abs(float(gu[1]) - math.pi / 180.0) > 1e-12:
+            raise ValueError(
+                f"angular unit {gu[0]!r} not supported (degrees only)"
+            )
+    a = rf = None
+    towgs84 = None
+    for datum in _wkt_children(gargs, "DATUM"):
+        for sph in (_wkt_children(datum, "SPHEROID")
+                    + _wkt_children(datum, "ELLIPSOID")):
+            if len(sph) >= 3:
+                a, rf = float(sph[1]), float(sph[2])
+        for tw in _wkt_children(datum, "TOWGS84"):
+            vals = [float(v) for v in tw] + [0.0] * (7 - len(tw))
+            if any(abs(v) > 1e-12 for v in vals):
+                towgs84 = vals
+    if a is None:
+        raise ValueError("PROJCS without a SPHEROID node")
+
+    projs = _wkt_children(args, "PROJECTION")
+    if not projs or not projs[0]:
+        raise ValueError("PROJCS without a PROJECTION node")
+    pname = str(projs[0][0]).upper().replace(" ", "_")
+    if pname not in _WKT_PROJ_NAMES:
+        raise ValueError(f"WKT projection method {pname!r} not supported")
+    method = _WKT_PROJ_NAMES[pname]
+
+    params = {}
+    for p in _wkt_children(args, "PARAMETER"):
+        if len(p) >= 2:
+            params[str(p[0]).upper()] = float(p[1])
+    unit = 1.0
+    for u in _wkt_children(args, "UNIT"):
+        if len(u) >= 2:
+            unit = float(u[1])  # linear unit in meters
+
+    def g(*names, dflt=0.0):
+        for n in names:
+            if n in params:
+                return params[n]
+        return dflt
+
+    lat0 = g("LATITUDE_OF_ORIGIN", "LATITUDE_OF_CENTER")
+    lon0 = g("CENTRAL_MERIDIAN", "LONGITUDE_OF_CENTER",
+             "LONGITUDE_OF_ORIGIN")
+    k0 = g("SCALE_FACTOR", dflt=1.0)
+    x0 = g("FALSE_EASTING") * unit
+    y0 = g("FALSE_NORTHING") * unit
+
+    toks = [f"+proj={method}"]
+    if rf and rf != 0.0:
+        toks.append(f"+a={a!r} +rf={rf!r}")
+    else:
+        toks.append(f"+R={a!r}")
+    if method == "tmerc":
+        toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r} +k_0={k0!r}")
+    elif method == "merc":
+        if "STANDARD_PARALLEL_1" in params:
+            toks.append(f"+lat_ts={params['STANDARD_PARALLEL_1']!r}"
+                        f" +lon_0={lon0!r}")
+        else:
+            toks.append(f"+k_0={k0!r} +lon_0={lon0!r}")
+    elif method in ("lcc", "aea"):
+        toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r}")
+        if "STANDARD_PARALLEL_1" in params:
+            toks.append(f"+lat_1={params['STANDARD_PARALLEL_1']!r}")
+        else:
+            toks.append(f"+lat_1={lat0!r}")
+        if "STANDARD_PARALLEL_2" in params:
+            toks.append(f"+lat_2={params['STANDARD_PARALLEL_2']!r}")
+        if method == "lcc" and "STANDARD_PARALLEL_1" not in params:
+            toks.append(f"+k_0={k0!r}")  # LCC-1SP
+    elif method == "laea":
+        toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r}")
+    elif method == "stere":
+        if abs(abs(lat0) - 90.0) < 1e-9:
+            # variant A: lat_0=+/-90 (+ optional k or std parallel)
+            toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r}")
+            if "STANDARD_PARALLEL_1" in params:
+                toks.append(f"+lat_ts={params['STANDARD_PARALLEL_1']!r}")
+            else:
+                toks.append(f"+k_0={k0!r}")
+        else:
+            # variant B / ESRI: latitude_of_origin IS the std parallel
+            pole = 90.0 if lat0 >= 0.0 else -90.0
+            toks.append(f"+lat_0={pole!r} +lat_ts={lat0!r} +lon_0={lon0!r}")
+    elif method == "sinu":
+        toks.append(f"+lon_0={lon0!r}")
+    elif method == "cea":
+        toks.append(f"+lat_ts={g('STANDARD_PARALLEL_1')!r} +lon_0={lon0!r}")
+    elif method == "omerc":
+        alpha = g("AZIMUTH", dflt=90.0)
+        gamma = g("RECTIFIED_GRID_ANGLE", dflt=alpha)
+        toks.append(
+            f"+lat_0={lat0!r} +lonc={lon0!r} +alpha={alpha!r}"
+            f" +gamma={gamma!r} +k_0={k0!r}"
+        )
+    toks.append(f"+x_0={x0!r} +y_0={y0!r}")
+    if towgs84 is not None:
+        toks.append("+towgs84=" + ",".join(repr(v) for v in towgs84))
+    return " ".join(toks)
+
+
+def _supported_non_wkt(crs: str) -> bool:
+    """_supported for a plain (non-WKT) CRS string — used while resolving
+    WKT so the AUTHORITY check cannot recurse into WKT parsing."""
+    try:
+        return _supported(crs)
+    except ValueError:
+        return False
 
 
 def _parse_projstr(c: str) -> "dict | None":

@@ -235,7 +235,15 @@ def _crs_from_prj(path: str) -> "str | None":
         return "EPSG:3857"
     if head.startswith('GEOGCS["GCS_WGS_1984"') or 'GEOGCS["WGS 84"' in head:
         return "EPSG:4326"
-    return None
+    # no EPSG authority: keep the WKT itself when core/crs can interpret
+    # its PROJECTION/PARAMETER nodes (resolved lazily by crs._norm), so
+    # parameter-only .prj files still transform instead of losing the CRS
+    try:
+        from ..core.crs import wkt_to_projstr
+
+        return wkt_to_projstr(wkt)
+    except ValueError:
+        return None
 
 
 def read_shapefile(

@@ -327,3 +327,134 @@ def test_ease_grid2_cylindrical_equal_area():
     with pytest.raises(ValueError, match="towgs84"):
         transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326",
                      "+proj=cea +lat_ts=30 +towgs84=100,0,0")
+
+
+# ---------------------------------------------------------------------------
+# WKT1 ingestion (wkt_to_projstr + _norm hook)
+# ---------------------------------------------------------------------------
+
+
+def test_wkt_roundtrip_vs_registry():
+    """crs_wkt's emission with AUTHORITY tags stripped (forcing the
+    PROJECTION/PARAMETER path) must transform identically to the registry
+    code it came from — one loop over the whole projected family."""
+    import re
+
+    rng = np.random.default_rng(9)
+    samples = {
+        "EPSG:32633": (rng.uniform(9, 21, 50), rng.uniform(-75, 80, 50)),
+        "EPSG:27700": (rng.uniform(-6, 1.5, 50), rng.uniform(50, 59, 50)),
+        "EPSG:2154": (rng.uniform(-4, 8, 50), rng.uniform(42, 50, 50)),
+        "EPSG:5070": (rng.uniform(-120, -75, 50), rng.uniform(25, 48, 50)),
+        "EPSG:3035": (rng.uniform(-10, 30, 50), rng.uniform(35, 68, 50)),
+        "EPSG:3413": (rng.uniform(-180, 180, 50), rng.uniform(62, 88, 50)),
+        "EPSG:3395": (rng.uniform(-179, 179, 50), rng.uniform(-80, 80, 50)),
+        "ESRI:54008": (rng.uniform(-179, 179, 50), rng.uniform(-85, 85, 50)),
+        "EPSG:6933": (rng.uniform(-179, 179, 50), rng.uniform(-85, 85, 50)),
+    }
+    for code, (lon, lat) in samples.items():
+        w = crs_wkt(code)
+        assert w is not None, code
+        bare = re.sub(r',AUTHORITY\["EPSG","\d+"\]', "", w)
+        assert "AUTHORITY" not in bare
+        x1, y1 = transform_xy(lon, lat, "EPSG:4326", code)
+        x2, y2 = transform_xy(lon, lat, "EPSG:4326", bare)
+        np.testing.assert_allclose(x2, x1, atol=1e-6, err_msg=code)
+        np.testing.assert_allclose(y2, y1, atol=1e-6, err_msg=code)
+        # and back through the inverse (1e-7 deg ~ 1 cm: the WKT emission
+        # prints rounded ellipsoid/Helmert constants, so mm-level drift vs
+        # the registry's exact values is inherent to the text round-trip)
+        lon2, lat2 = transform_xy(x2, y2, bare, "EPSG:4326")
+        np.testing.assert_allclose(lon2, lon, atol=1e-7, err_msg=code)
+        np.testing.assert_allclose(lat2, lat, atol=1e-7, err_msg=code)
+
+
+def test_wkt_esri_flavor_and_authority_preference():
+    """ESRI-style naming resolves through parameters; an AUTHORITY tag on a
+    supported code short-circuits to the registry entry."""
+    esri_utm33 = (
+        'PROJCS["WGS_1984_UTM_Zone_33N",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["False_Easting",500000.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",15.0],'
+        'PARAMETER["Scale_Factor",0.9996],'
+        'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+    )
+    lon = np.array([12.0, 15.0, 17.5])
+    lat = np.array([40.0, 55.0, 70.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:32633")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", esri_utm33)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    with_auth = crs_wkt("EPSG:2154")
+    assert 'AUTHORITY["EPSG","2154"]' in with_auth
+    assert crs.wkt_to_projstr(with_auth) == "EPSG:2154"
+
+
+def test_wkt_foot_units_scale_false_easting():
+    """A PROJCS in US survey feet: false easting/northing convert to
+    meters (coordinates stay in the CS's native meters here — the unit
+    applies to the PARAMETER values)."""
+    ftus = 1200.0 / 3937.0
+    wkt_ft = (
+        'PROJCS["ft_tm",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        f'PARAMETER["False_Easting",{500000.0 / ftus!r}],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",15.0],'
+        'PARAMETER["Scale_Factor",0.9996],'
+        'PARAMETER["Latitude_Of_Origin",0.0],'
+        f'UNIT["Foot_US",{ftus!r}]]'
+    )
+    lon, lat = np.array([15.5]), np.array([45.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:32633")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", wkt_ft)
+    np.testing.assert_allclose(x2, x1, atol=1e-5)
+    np.testing.assert_allclose(y2, y1, atol=1e-5)
+
+
+def test_wkt_geogcs_and_failure_modes():
+    assert crs.wkt_to_projstr(crs_wkt("EPSG:4326")) == "EPSG:4326"
+    # NAD83 GEOGCS (GRS80 ellipsoid) treated as WGS84-coincident
+    nad83 = ('GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+             'SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+             'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    assert crs.wkt_to_projstr(nad83) == "EPSG:4326"
+    with pytest.raises(ValueError, match="not supported"):
+        crs.wkt_to_projstr(
+            'PROJCS["x",GEOGCS["g",DATUM["d",SPHEROID["s",6378137.0,'
+            '298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["Degree",0.0174532925199433]],'
+            'PROJECTION["Krovak"],UNIT["Meter",1.0]]'
+        )
+    # a malformed / non-WGS84 geographic WKT is a clean False, not a crash
+    assert not can_transform('GEOGCS["Tokyo",DATUM["Tokyo",'
+                             'SPHEROID["Bessel 1841",6377397.155,'
+                             '299.1528128]],PRIMEM["Greenwich",0],'
+                             'UNIT["degree",0.0174532925199433]]',
+                             "EPSG:4326")
+    assert not can_transform("PROJCS[garbage", "EPSG:4326")
+
+
+def test_prj_parameter_only_file_resolves(tmp_path):
+    """A .prj with parameters but no AUTHORITY tag keeps a working CRS."""
+    import re
+
+    from exactextractr_spark.sources.shapefile import _crs_from_prj
+
+    bare = re.sub(r',AUTHORITY\["EPSG","\d+"\]', "", crs_wkt("EPSG:2154"))
+    p = tmp_path / "t.prj"
+    p.write_text(bare)
+    got = _crs_from_prj(str(p))
+    assert got is not None
+    lon, lat = np.array([3.0]), np.array([46.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:2154")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", got)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)

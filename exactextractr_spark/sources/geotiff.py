@@ -179,7 +179,9 @@ _ELLIPSOID_ELLPS = {7030: "WGS84", 7019: "GRS80", 7008: "clrk66",
                     7022: "intl"}
 
 
-def _epsg_from_geokeys(keys: tuple, doubles: tuple = ()) -> str:
+def _epsg_from_geokeys(
+    keys: tuple, doubles: tuple = (), ascii_params: bytes = b""
+) -> str:
     """GeoKeyDirectory: (ver, rev, minor, nkeys) then 4-tuples of
     (KeyID, TagLocation, Count, Value). EPSG from ProjectedCSType (3072)
     if present, else GeographicType (2048). When the CRS is user-defined
@@ -192,6 +194,7 @@ def _epsg_from_geokeys(keys: tuple, doubles: tuple = ()) -> str:
         return ""
     nkeys = keys[3]
     found: dict[int, float] = {}
+    cites: dict[int, str] = {}
     for i in range(nkeys):
         kid, loc, cnt, val = keys[4 + 4 * i : 8 + 4 * i]
         if loc == 0:
@@ -200,12 +203,30 @@ def _epsg_from_geokeys(keys: tuple, doubles: tuple = ()) -> str:
             # value(s) live in the GeoDoubleParams tag; all the projection
             # parameter keys are single doubles
             found[kid] = doubles[val]
+        elif loc == 34737 and ascii_params:
+            cites[kid] = ascii_params[val : val + cnt].decode(
+                "latin-1"
+            ).rstrip("|\x00")
     code = found.get(3072) or found.get(2048)
     if code and code != 32767:  # 32767 == user-defined
         return f"EPSG:{int(code)}"
     ct = found.get(3075)
     proj = _CT_PROJ.get(int(ct)) if ct is not None else None
     if proj is None:
+        # last resort: a WKT1 string embedded in the PCS/GT citation key
+        # (ESRI "PE String" files carry the full PROJCS here)
+        for kid in (3073, 1026, 2049):
+            cite = cites.get(kid, "")
+            at = cite.find("PROJCS[")
+            if at < 0:
+                at = cite.find("GEOGCS[")
+            if at >= 0:
+                from ..core.crs import wkt_to_projstr
+
+                try:
+                    return wkt_to_projstr(cite[at:])
+                except ValueError:
+                    pass
         return ""
     parts = [f"+proj={proj}"]
     # ellipsoid: explicit axes first, then ellipsoid code, then the
@@ -389,7 +410,10 @@ def read_tiff_info(path: str, ifd: int = 0) -> TiffInfo:
         ymax=float(ymax),
         dx=float(dx),
         dy=float(dy),
-        crs=_epsg_from_geokeys(t.get(_T_GEO_KEYS, ()), t.get(34736, ())),
+        crs=_epsg_from_geokeys(
+            t.get(_T_GEO_KEYS, ()), t.get(34736, ()),
+            t.get(34737) if isinstance(t.get(34737), bytes) else b"",
+        ),
         nodata=nodata,
         big_endian=(bo == ">"),
         planar=planar,

@@ -1107,3 +1107,36 @@ def test_bigtiff_auto_switch_past_4gib(tmp_path):
     raw.seek(info.offsets[0])
     first = np.frombuffer(raw.read(w), dtype=np.uint8)
     np.testing.assert_array_equal(first[:5], [1, 2, 3, 4, 5])
+
+
+def test_geokey_citation_wkt_fallback():
+    """A user-defined CRS whose GeoKeys carry no projection parameters but
+    embed WKT1 in the PCS citation (ESRI 'PE String' files) resolves via
+    wkt_to_projstr; garbage citations stay a clean ''."""
+    import numpy as np
+
+    from exactextractr_spark.core.crs import crs_wkt, transform_xy
+    from exactextractr_spark.sources.geotiff import _epsg_from_geokeys
+
+    import re
+    bare = re.sub(r',AUTHORITY\["EPSG","\d+"\]', "", crs_wkt("EPSG:5070"))
+    cite = ("ESRI PE String = " + bare + "|").encode("latin-1")
+    keys = (
+        1, 1, 0, 3,
+        3072, 0, 1, 32767,          # ProjectedCSType: user-defined
+        3073, 34737, len(cite), 0,  # PCSCitation -> ascii params
+        3076, 0, 1, 9001,           # linear units: meter
+    )
+    got = _epsg_from_geokeys(keys, (), cite)
+    assert got.startswith("+proj=aea"), got
+    lon, lat = np.array([-96.0, -105.5]), np.array([23.0, 41.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:5070")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", got)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    junk = b"just a name|"
+    keys2 = (1, 1, 0, 2,
+             3072, 0, 1, 32767,
+             1026, 34737, len(junk), 0)
+    assert _epsg_from_geokeys(keys2, (), junk) == ""

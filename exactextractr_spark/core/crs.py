@@ -1041,6 +1041,18 @@ def wkt_to_projstr(wkt: str) -> str:
     for p in _wkt_children(args, "PARAMETER"):
         if len(p) >= 2:
             params[str(p[0]).upper()] = float(p[1])
+
+    if pname == "MERCATOR_AUXILIARY_SPHERE":
+        # ESRI web-mercator: projection math runs on the SPHERE of the
+        # semi-major axis (auxiliary sphere type 0 — the EPSG:3857
+        # definition), not the ellipsoid; using the ellipsoid here is a
+        # ~30 km northing error at mid-latitudes
+        if params.get("AUXILIARY_SPHERE_TYPE", 0.0) != 0.0:
+            raise ValueError(
+                "Auxiliary_Sphere_Type != 0 (semiminor/authalic spheres) "
+                "not supported"
+            )
+        rf = 0.0
     unit = 1.0
     for u in _wkt_children(args, "UNIT"):
         if len(u) >= 2:

@@ -458,3 +458,29 @@ def test_prj_parameter_only_file_resolves(tmp_path):
     x2, y2 = transform_xy(lon, lat, "EPSG:4326", got)
     np.testing.assert_allclose(x2, x1, atol=1e-6)
     np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+
+def test_wkt_mercator_auxiliary_sphere_is_3857():
+    """ESRI web-mercator WKT (Mercator_Auxiliary_Sphere, type 0) runs on
+    the SPHERE of the semi-major axis — must match EPSG:3857, not
+    ellipsoidal Mercator (a ~30 km northing error)."""
+    esri = (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]'
+    )
+    lon = np.array([10.0, -120.0, 170.0])
+    lat = np.array([45.0, -30.0, 80.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:3857")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", esri)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    with pytest.raises(ValueError, match="Auxiliary_Sphere_Type"):
+        crs.wkt_to_projstr(esri.replace(
+            '"Auxiliary_Sphere_Type",0.0', '"Auxiliary_Sphere_Type",1.0'))

@@ -114,6 +114,14 @@ def main():
             "table — no shuffle at all: resize and decode are per-image "
             "map work, the 100-TB shape is embarrassingly parallel.",
         ),
+        "image_augment_px": (
+            "Multimodal augmentation fan-out (decode->ops->re-encode)",
+            "Same shuffle-free shape as the resize path: one mapInPandas "
+            "emits all per-op rows (each image decoded ONCE for every op), "
+            "a second decodes for the pixel check. At 100 TB the fan-out "
+            "multiplies rows map-side only — partitioning and shuffle "
+            "volume are untouched.",
+        ),
         "line_stats": (
             "LineString named stats (length-weighted)",
             "Line kernel emits per-(feature, cell) length facts; the stat "

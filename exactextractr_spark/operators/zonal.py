@@ -55,6 +55,11 @@ FACTS_SCHEMA = T.StructType(
     ]
 )
 
+#: frac/weighted_frac produce one result column per GLOBAL distinct value;
+#: beyond this the raster is not categorical and the request fails loudly
+#: (matches Spark's own spark.sql.pivotMaxValues default)
+MAX_FRAC_VALUES = 10_000
+
 #: per-(feature, tile) partial value-frequency rows — kernel-side combine of
 #: the groupBy(fid, v) shuffle (shuffle bytes scale with distinct values per
 #: tile, not with covered cells)
@@ -1201,10 +1206,22 @@ def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
         if s in wanted:
             # global distinct value set across ALL features
             # (ref exact_extract.cpp:420-434, 533-540) — two-pass like the
-            # reference; the distinct set is tiny (categorical rasters)
-            vals = sorted(
-                r[0] for r in freq_df.select("v").distinct().collect() if r[0] is not None
+            # reference; the distinct set is tiny (categorical rasters).
+            # limit-bounded like every other driver-side metadata job: a
+            # continuous raster fails LOUDLY here instead of OOMing the
+            # driver or exploding the pivot
+            rows = (
+                freq_df.select("v").distinct()
+                .limit(MAX_FRAC_VALUES + 1).collect()
             )
+            if len(rows) > MAX_FRAC_VALUES:
+                raise ValueError(
+                    f"'{s}' requires a categorical raster: more than "
+                    f"{MAX_FRAC_VALUES} distinct values found (one result "
+                    "column per value, ref exact_extract.cpp:420-434); use "
+                    "quantile/median stats for continuous rasters"
+                )
+            vals = sorted(r[0] for r in rows if r[0] is not None)
             tot = freq_df.groupBy("feature_id").agg(F.sum(num).alias("_tot"))
             piv = (
                 freq_df.groupBy("feature_id")

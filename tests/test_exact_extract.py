@@ -480,3 +480,17 @@ def test_unweighted_stat_unaffected_by_weight_raster_gaps(spark):
     alone = one_row(exact_extract(v, feats, ["sum"]))["sum"]
     both = one_row(exact_extract(v, feats, ["sum", "weighted_mean"], weights=w))
     assert both["sum"] == pytest.approx(alone, rel=1e-12)
+
+
+def test_frac_cardinality_guard(spark, monkeypatch):
+    """A continuous-valued raster fails LOUDLY on frac instead of building
+    a pivot with one column per float (cap is limit-bounded, no full
+    driver collect)."""
+    import exactextractr_spark.operators.zonal as zonal_mod
+
+    monkeypatch.setattr(zonal_mod, "MAX_FRAC_VALUES", 4)
+    arr = np.arange(9, dtype=np.float64).reshape(3, 3)  # 9 distinct values
+    cont = Raster.from_array(spark, arr, meta33("cont"))
+    feats = features_from_wkt(spark, [SQ_WKT])
+    with pytest.raises(ValueError, match="categorical"):
+        exact_extract(cont, feats, ["frac"]).collect()

@@ -918,8 +918,19 @@ def _wkt_node(s: str, i: int = 0):
             args.append(s[j + 1 : k])
             j = k + 1
         elif ch.isalpha():
-            sub_name, sub_args, j = _wkt_node(s, j)
-            args.append((sub_name, sub_args))
+            k = j
+            while k < len(s) and (s[k].isalnum() or s[k] == "_"):
+                k += 1
+            m = k
+            while m < len(s) and s[m] in " \t\r\n":
+                m += 1
+            if m < len(s) and s[m] == "[":
+                sub_name, sub_args, j = _wkt_node(s, j)
+                args.append((sub_name, sub_args))
+            else:
+                # bare enum keyword (AXIS[...,EAST], GDAL WKT1)
+                args.append(s[j:k])
+                j = k
         else:
             k = j
             while k < len(s) and s[k] not in ",]":
@@ -961,10 +972,25 @@ _WKT_PROJ_NAMES = {
     "STEREOGRAPHIC_SOUTH_POLE": "stere",
     "SINUSOIDAL": "sinu",
     "CYLINDRICAL_EQUAL_AREA": "cea",
-    "HOTINE_OBLIQUE_MERCATOR": "omerc",
+    # ONLY the azimuth-center name (EPSG 9815, variant B) — the module's
+    # omerc math anchors false origins at the projection center; plain
+    # "Hotine_Oblique_Mercator" is variant A (EPSG 9812, natural-origin
+    # offsets) and mapping it here would silently shift results by uc
     "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "omerc",
-    "OBLIQUE_MERCATOR": "omerc",
 }
+
+
+def _wkt_validate_geogcs(gargs: list) -> None:
+    """Reject geographic axes this module cannot interpret: non-Greenwich
+    prime meridians and non-degree angular units."""
+    for pm in _wkt_children(gargs, "PRIMEM"):
+        if len(pm) >= 2 and abs(float(pm[1])) > 1e-9:
+            raise ValueError("non-Greenwich prime meridian not supported")
+    for gu in _wkt_children(gargs, "UNIT"):
+        if len(gu) >= 2 and abs(float(gu[1]) - math.pi / 180.0) > 1e-12:
+            raise ValueError(
+                f"angular unit {gu[0]!r} not supported (degrees only)"
+            )
 
 
 def _wkt_geogcs_is_wgs84_family(gargs: list) -> bool:
@@ -993,6 +1019,7 @@ def wkt_to_projstr(wkt: str) -> str:
         return f"EPSG:{epsg}"
     if name in ("GEOGCS", "GEOGCRS"):
         if name == "GEOGCS" and _wkt_geogcs_is_wgs84_family(args):
+            _wkt_validate_geogcs(args)  # Paris meridian / grads reject
             return "EPSG:4326"
         raise ValueError(
             "geographic WKT CRS is not in the WGS84/GRS80 family (or is "
@@ -1007,14 +1034,7 @@ def wkt_to_projstr(wkt: str) -> str:
     if not geogs:
         raise ValueError("PROJCS without a GEOGCS node")
     gargs = geogs[0]
-    for pm in _wkt_children(gargs, "PRIMEM"):
-        if len(pm) >= 2 and abs(float(pm[1])) > 1e-9:
-            raise ValueError("non-Greenwich prime meridian not supported")
-    for gu in _wkt_children(gargs, "UNIT"):
-        if len(gu) >= 2 and abs(float(gu[1]) - math.pi / 180.0) > 1e-12:
-            raise ValueError(
-                f"angular unit {gu[0]!r} not supported (degrees only)"
-            )
+    _wkt_validate_geogcs(gargs)
     a = rf = None
     towgs84 = None
     for datum in _wkt_children(gargs, "DATUM"):
@@ -1097,7 +1117,15 @@ def wkt_to_projstr(wkt: str) -> str:
     elif method == "laea":
         toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r}")
     elif method == "stere":
-        if abs(abs(lat0) - 90.0) < 1e-9:
+        if pname == "STEREOGRAPHIC_NORTH_POLE" or \
+                pname == "STEREOGRAPHIC_SOUTH_POLE":
+            # ESRI polar names: the pole comes from the NAME; the standard
+            # parallel from Standard_Parallel_1 (or a non-polar
+            # Latitude_Of_Origin some writers use instead)
+            pole = 90.0 if pname == "STEREOGRAPHIC_NORTH_POLE" else -90.0
+            ts = params.get("STANDARD_PARALLEL_1", lat0)
+            toks.append(f"+lat_0={pole!r} +lat_ts={ts!r} +lon_0={lon0!r}")
+        elif abs(abs(lat0) - 90.0) < 1e-9:
             # variant A: lat_0=+/-90 (+ optional k or std parallel)
             toks.append(f"+lat_0={lat0!r} +lon_0={lon0!r}")
             if "STANDARD_PARALLEL_1" in params:

@@ -103,12 +103,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest id per distinct (normalized) text. Entirely
     JVM-side: sha2 hash + min groupBy — one shuffle, map-side combined."""
-    txt = F.col(text_col)
-    if normalize:
-        txt = F.lower(F.regexp_replace(txt, r"\s+", " "))
-    keyed = docs.withColumn("_h", F.sha2(txt, 256))
+    keyed = docs.withColumn("_h", content_key(F.col(text_col), normalize))
     keep = keyed.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return docs.join(keep, on=id_col, how="inner").drop("_h")
+
+
+def content_key(txt, normalize: bool = True):
+    """The shared exact-dedup content key (sha-256 of the
+    whitespace-collapsed lowercased text): ONE definition used by batch
+    ``exact_dedup`` and ``streaming.dedup_stream`` so the two surfaces can
+    never silently diverge."""
+    if normalize:
+        txt = F.lower(F.regexp_replace(txt, r"\s+", " "))
+    return F.sha2(txt, 256)
 
 
 def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

@@ -38,6 +38,31 @@ def _norm(a):
     )
 
 
+def score_against_queries(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, item_id, cos_sim) for every item × query pair: broadcast the
+    (small) query set, score JVM-side with the fold cosine. ONE definition
+    shared by batch ``cosine_topk`` and ``streaming.stream_cosine_topk``
+    so the two surfaces can never silently diverge."""
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
+    )
+    return items.join(F.broadcast(q)).select(
+        "qid",
+        F.col(id_col).alias("item_id"),
+        (
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
+        ).alias("cos_sim"),
+    )
+
+
 def cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -50,16 +75,8 @@ def cosine_topk(
     """Exact cosine top-k: broadcast the (small) query set against the item
     table, score JVM-side, keep top-k per query via window. Returns
     (qid, vec_id, cos_sim, rank)."""
-    q = queries.select(
-        F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
-    )
-    scored = items.join(F.broadcast(q)).select(
-        "qid",
-        F.col(id_col).alias("item_id"),
-        (
-            _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
-        ).alias("cos_sim"),
+    scored = score_against_queries(
+        items, queries, id_col=id_col, vec_col=vec_col, qid_col=qid_col
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("item_id"))
     return (

@@ -1211,8 +1211,8 @@ def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
             # continuous raster fails LOUDLY here instead of OOMing the
             # driver or exploding the pivot
             rows = (
-                freq_df.select("v").distinct()
-                .limit(MAX_FRAC_VALUES + 1).collect()
+                freq_df.select("v").where(F.col("v").isNotNull())
+                .distinct().limit(MAX_FRAC_VALUES + 1).collect()
             )
             if len(rows) > MAX_FRAC_VALUES:
                 raise ValueError(

@@ -54,16 +54,21 @@ def stream_exact_dedup(
     ``dropDuplicatesWithinWatermark``; otherwise keys are kept forever
     (exact dedup over all history).
     """
+    if (ts_col is None) != (watermark_delay is None):
+        raise ValueError(
+            "ts_col and watermark_delay must be passed together: one "
+            "without the other would silently fall back to unbounded "
+            "state, defeating the TTL the caller asked for"
+        )
+    from ..operators.dedup import content_key
+
     schema = spark.read.parquet(source_dir).schema
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    txt = F.col(text_col)
-    if normalize:
-        txt = F.lower(F.regexp_replace(txt, r"\s+", " "))
-    keyed = docs.withColumn("_h", F.sha2(txt, 256))
+    keyed = docs.withColumn("_h", content_key(F.col(text_col), normalize))
     if ts_col is not None and watermark_delay is not None:
         deduped = keyed.withWatermark(ts_col, watermark_delay)
         deduped = deduped.dropDuplicatesWithinWatermark(["_h"])

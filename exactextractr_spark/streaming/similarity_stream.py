@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.similarity import _dot, _norm
+from ..operators.similarity import score_against_queries
 
 _OUT_SCHEMA = (
     "qid long, item_id long, cos_sim double, rank int, n_seen long"
@@ -108,17 +108,12 @@ def stream_cosine_topk(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    q = queries.select(
-        F.col(qid_col).cast("long").alias("qid"),
-        F.col(vec_col).alias("_qvec"),
-    )
-    scored = items.join(F.broadcast(q)).select(
-        "qid",
-        F.col(id_col).cast("long").alias("item_id"),
-        (
-            _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
-        ).alias("cos_sim"),
+    # ids cast to long up front (the state schema is typed), then the
+    # SHARED batch scoring plan — broadcast join + JVM fold cosine
+    scored = score_against_queries(
+        items.withColumn(id_col, F.col(id_col).cast("long")),
+        queries.withColumn(qid_col, F.col(qid_col).cast("long")),
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col,
     )
     snapshots = scored.groupBy("qid").applyInPandasWithState(
         _topk_merge_fn(k),

@@ -484,3 +484,61 @@ def test_wkt_mercator_auxiliary_sphere_is_3857():
     with pytest.raises(ValueError, match="Auxiliary_Sphere_Type"):
         crs.wkt_to_projstr(esri.replace(
             '"Auxiliary_Sphere_Type",0.0', '"Auxiliary_Sphere_Type",1.0'))
+
+
+def test_wkt_esri_polar_names_and_gdal_axis_nodes():
+    """Stereographic_South_Pole takes its pole from the NAME and its
+    standard parallel from Standard_Parallel_1 (no Latitude_Of_Origin in
+    NSIDC-style WKTs); bare AXIS enum keywords parse; plain
+    Hotine_Oblique_Mercator (variant A) is a loud error, not a silent
+    center-offset."""
+    south = (
+        'PROJCS["South_Pole_Stereographic",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Stereographic_South_Pole"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",-71.0],UNIT["Meter",1.0]]'
+    )
+    lon = np.array([0.0, 90.0, -135.0])
+    lat = np.array([-75.0, -80.0, -65.0])
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:3031")
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", south)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    # GDAL WKT1 carries bare AXIS keywords after the parameters
+    gdal = (
+        'PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",15],'
+        'PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1],'
+        'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+        'AUTHORITY["EPSG","32633"]]'
+    )
+    assert crs.wkt_to_projstr(gdal) == "EPSG:32633"
+
+    hotine_a = (
+        'PROJCS["x",GEOGCS["g",DATUM["d",SPHEROID["s",6378137.0,'
+        '298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator"],'
+        'PARAMETER["Azimuth",53.0],UNIT["Meter",1.0]]'
+    )
+    with pytest.raises(ValueError, match="not supported"):
+        crs.wkt_to_projstr(hotine_a)
+
+    # Paris-meridian GEOGCS with a WGS84-sized ellipsoid must NOT resolve
+    # to EPSG:4326 (longitudes would silently shift ~2.34 deg)
+    paris = ('GEOGCS["NTF (Paris)-ish",DATUM["D",SPHEROID["S",6378137.0,'
+             '298.257223563]],PRIMEM["Paris",2.33722917],'
+             'UNIT["Degree",0.0174532925199433]]')
+    with pytest.raises(ValueError, match="prime meridian"):
+        crs.wkt_to_projstr(paris)
+    assert not can_transform(paris, "EPSG:4326")

@@ -494,3 +494,9 @@ def test_frac_cardinality_guard(spark, monkeypatch):
     feats = features_from_wkt(spark, [SQ_WKT])
     with pytest.raises(ValueError, match="categorical"):
         exact_extract(cont, feats, ["frac"]).collect()
+    # nodata does NOT count toward the cap: 2 values + NaN passes cap=2
+    arr2 = np.array([[1, 1, np.nan], [2, 2, np.nan], [1, 2, np.nan]],
+                    dtype=np.float64)
+    cat2 = Raster.from_array(spark, arr2, meta33("cat2"))
+    rows = exact_extract(cat2, feats, ["frac"]).collect()
+    assert rows and "frac_1" in rows[0].asDict()

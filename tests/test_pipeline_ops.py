@@ -1030,3 +1030,18 @@ def test_streaming_cosine_topk_matches_batch(spark, tmp_path):
         assert got[key][1] == pytest.approx(want[key][1], rel=1e-12), key
     # every query saw all 60 items
     assert set(maxes.values()) == {60}
+
+
+def test_streaming_dedup_param_pairing_guard(spark, tmp_path):
+    """ts_col without watermark_delay (or vice versa) is a loud error, not
+    a silent fall-through to unbounded state."""
+    from exactextractr_spark.streaming.dedup_stream import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).write.parquet(src)
+    with pytest.raises(ValueError, match="together"):
+        stream_exact_dedup(spark, src, str(tmp_path / "o"),
+                           str(tmp_path / "c"), ts_col="ts")
+    with pytest.raises(ValueError, match="together"):
+        stream_exact_dedup(spark, src, str(tmp_path / "o"),
+                           str(tmp_path / "c"), watermark_delay="5 minutes")

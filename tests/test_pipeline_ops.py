@@ -1045,3 +1045,37 @@ def test_streaming_dedup_param_pairing_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         stream_exact_dedup(spark, src, str(tmp_path / "o"),
                            str(tmp_path / "c"), watermark_delay="5 minutes")
+
+
+def test_streaming_image_features_matches_batch(spark, tmp_path):
+    """Streaming featurization == batch image_features over the same tiles
+    (stateless kernel, so per-image bit parity including the pHash)."""
+    from exactextractr_spark.operators.multimodal import image_features
+    from exactextractr_spark.sources.tiles import (
+        RasterMeta,
+        tile_table_from_array,
+    )
+    from exactextractr_spark.streaming.ingest import stream_image_features
+
+    arr = np.arange(1.0, 145.0).reshape(12, 12)
+    meta = RasterMeta("f", xmin=0, ymax=12, dx=1, dy=1, width=12, height=12,
+                      tile_w=4, tile_h=4)
+    tiles = tile_table_from_array(spark, arr, meta)
+    src = str(tmp_path / "src")
+    tr = F.get_json_object("caption", "$.tile_row").cast("int")
+    tiles.filter(tr < 2).coalesce(1).write.mode("append").parquet(src)
+    tiles.filter(tr >= 2).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_image_features(
+        spark, src, str(tmp_path / "sink"), str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {r["image_id"]: r.asDict()
+           for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    want = {r["image_id"]: r.asDict()
+            for r in image_features(tiles).collect()}
+    assert set(got) == set(want) and len(got) == 9
+    for iid in want:
+        for c in ("h", "w", "mean_px", "std_px", "phash"):
+            assert got[iid][c] == want[iid][c], (iid, c)

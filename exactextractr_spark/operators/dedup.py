@@ -349,50 +349,109 @@ def ngram_jaccard_pairs(
 
     ``max_df`` (document-frequency cap) is the scale contract: grams
     appearing in more than ``max_df`` documents are removed from the
-    similarity universe — from BOTH the intersection join and the per-doc
-    set sizes — before the self-join, bounding its fan-out at
-    ``max_df²`` rows per gram. This is the standard stop-gram/prefix-filter
-    move: the result is the exact Jaccard over the df-filtered gram sets
-    (a documented semantic, not an approximation of the uncapped join).
-    ``max_df=None`` disables the cap (classic exact Jaccard)."""
+    similarity universe — from BOTH the intersection counts and the per-doc
+    set sizes — bounding the pair fan-out at ``max_df²`` rows per gram.
+    This is the standard stop-gram/prefix-filter move: the result is the
+    exact Jaccard over the df-filtered gram sets (a documented semantic,
+    not an approximation of the uncapped join). ``max_df=None`` disables
+    the cap (classic exact Jaccard).
+
+    Plan shape (capped path): the hashed (id, gram) table is built once and
+    persisted; a codegen ``groupBy(gram).count`` (map-side partial, never a
+    list build over hot keys) finds the rare grams, which join back to keep
+    only the df-capped rows — typically a tiny fraction of the corpus.
+    Candidate pairs are then generated JVM-side from each rare gram's
+    (sorted) id list with a higher-order pair expansion — no gram
+    self-join, and no ``collect_list`` ever sees a stop-gram's unbounded
+    id list (ObjectHashAggregate falls back to sort-based aggregation
+    past 128 keys, which measured 6-9 s on the hot-key gram table where
+    the count aggregate takes well under 1 s). Grams ride as xxhash64
+    keys of the token-slice ARRAY, so no gram strings are materialized
+    and the shuffle moves 8-byte longs (Jaccard counts only need gram
+    identity; a 64-bit collision among ~2^21 distinct grams has
+    probability ~1e-7 — the same accepted trade as the banded MinHash
+    bucket hash)."""
+    # the tokenize + gram-build + explode map phase must not inherit a
+    # single-file scan's 1-partition layout (a 30 MB corpus file is one
+    # split at the session's 32 MB maxPartitionBytes): one cheap shuffle of
+    # the slim (id, text) projection buys full-core gram building
+    docs = _spread(docs.select(id_col, text_col))
     toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")), r"\s+")
+    gram_strs = F.expr(
+        f"filter(array_distinct(transform(sequence(0, greatest(size(_toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i+1, {n})))), g -> length(g) > 0)"
+    )
+    if max_df is None:
+        # uncapped classic exact Jaccard: a hot gram's id list is unbounded,
+        # so pair expansion must stream through a self-join rather than
+        # materialize per-gram pair arrays
+        grams = (
+            docs.withColumn("_toks", toks)
+            .select(F.col(id_col).alias("id"), F.explode(gram_strs).alias("gram"))
+        )
+        grams = grams.persist()
+        sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+        inter = (
+            grams.alias("a")
+            .join(grams.alias("b"), on="gram")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # gram identity = identity of the token slice (tokens are \s+-split so
+    # they contain no spaces, making ' '-join injective): hash the slice
+    # array directly — no gram strings are ever built. The empty-gram
+    # filter mirrors length(concat_ws(' ', g)) > 0.
+    gram_arr = F.expr(
+        f"transform(filter(transform(sequence(0, greatest(size(_toks) - {n}, 0)), "
+        f"i -> slice(_toks, i+1, {n})), "
+        "g -> size(g) > 1 or g[0] <> ''), g -> xxhash64(g))"
+    )
     grams = (
         docs.withColumn("_toks", toks)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(0, greatest(size(_toks) - {n}, 0)), "
-                    f"i -> concat_ws(' ', slice(_toks, i+1, {n}))))"
-                )
-            ).alias("gram"),
+            F.explode(F.array_distinct(gram_arr)).alias("g"),
         )
-        .filter(F.length("gram") > 0)
     )
-    if max_df is not None:
-        rare = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("gram")
-        )
-        grams = grams.join(rare, on="gram", how="inner")
-    # grams feeds three consumers (both self-join sides + sizes); one
-    # materialization after the df-filter measured fastest (storing the raw
-    # gram table too doubles the cache-store cost for no win at any scale
-    # tested). persist() deliberately, NOT localCheckpoint: the columnar
-    # in-memory cache re-scans ~1.2x faster than java-row-serialized
-    # checkpoint blocks on this million-row string table (round-5
-    # same-window A/B: 2.80 s vs 3.32 s at sf0.1) — the round-4 regression.
-    # Cost: a CacheManager entry per call; long-lived sessions running many
-    # dedup jobs should spark.catalog.clearCache() between jobs.
+    # built once, consumed by the df count and the rare-gram join
     grams = grams.persist()
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("g")
+    )
+    kept = grams.join(rare, on="g", how="inner")
+    bygram = (
+        kept.groupBy("g")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .select("ids")
+    ).persist()
+    sizes = (
+        bygram.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x as id_a, y as id_b))))"
+    )
     inter = (
-        grams.alias("a")
-        .join(grams.alias("b"), on="gram")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        bygram.filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     return (

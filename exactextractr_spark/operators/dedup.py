@@ -49,6 +49,31 @@ def _tokenize(text: str) -> "list[bytes]":
     return text.encode("utf-8", "ignore").translate(_BTRANS).split()
 
 
+def _rechunk(
+    batches: "Iterator[pd.DataFrame]", min_rows: int = 2048
+) -> "Iterator[pd.DataFrame]":
+    """Coalesce tiny Arrow batches before a vectorized kernel.
+
+    The engine's session caps ``arrow.maxRecordsPerBatch`` at 16 rows for
+    the ~0.5 MB tile payloads; text/embedding rows are a few hundred bytes,
+    so the same cap hands the numpy kernels 16-row batches where per-batch
+    fixed costs (DataFrame assembly, ragged-fold setup, tiny matmuls)
+    dominate. Accumulating to ``min_rows`` restores full vectorization
+    without touching the session-wide batch size the tile kernels need."""
+    buf: list[pd.DataFrame] = []
+    rows = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        buf.append(pdf)
+        rows += len(pdf)
+        if rows >= min_rows:
+            yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, rows = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Widen a too-narrow input before a Python signature stage.
 
@@ -180,7 +205,7 @@ def minhash_signatures(
     max_cells = 8_000_000
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             tok_h, offs = _batch_token_hashes(pdf[text_col])
             per_doc = [
                 _doc_shingle_hashes(tok_h[offs[i] : offs[i + 1]], shingle_k)
@@ -310,7 +335,7 @@ def simhash64(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     bit_idx = np.arange(64, dtype=np.uint64)
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             tok_h, offs = _batch_token_hashes(pdf[text_col])
             n_docs = len(pdf)
             if tok_h.shape[0]:
@@ -505,11 +530,14 @@ def hamming_pairs(
     a = ex.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "k")
     b2 = ex.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "k")
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    # the exact hamming filter runs BEFORE dropDuplicates: it is a cheap
+    # codegen predicate in the join's own stage, so the hot-bucket candidate
+    # fan-out (measured 49M join rows -> 27k true pairs at sf1.0) dies in
+    # place instead of being shuffled into the distinct
     return (
         a.join(b2, on="k")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (ham <= max_hamming))
         .dropDuplicates(["id_a", "id_b"])
-        .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
 
@@ -627,19 +655,20 @@ def embedding_dedup(
     rule run on the candidates only — the join is an equi-join on the band
     key, never all-pairs; recall < 1 by construction (raise ``bands``).
     """
-    from .similarity import _dot, _norm, band_key_udf
+    from .similarity import _cos_fold, band_key_udf
 
     if mode == "exact":
-        rows = (
-            items.select(id_col, vec_col).orderBy(id_col).limit(200_001).collect()
-        )
-        if len(rows) > 200_000:
+        # Arrow collect (limit-bounded): orders of magnitude cheaper than
+        # row-by-row collect() for 200k x dim float arrays, and no sort —
+        # nothing downstream depends on driver-side row order
+        pdf_all = items.select(id_col, vec_col).limit(200_001).toPandas()
+        if len(pdf_all) > 200_000:
             raise ValueError(
                 "embedding_dedup(mode='exact') is the bounded all-pairs "
                 "baseline; use mode='lsh' above 200k vectors"
             )
-        ids_all = np.array([r[0] for r in rows], dtype=np.int64)
-        M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        ids_all = pdf_all[id_col].to_numpy().astype(np.int64)
+        M = np.vstack(pdf_all[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(M, axis=1)
         M /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
         bc = items.sparkSession.sparkContext.broadcast((ids_all, M))
@@ -652,9 +681,7 @@ def embedding_dedup(
 
         def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids_b, Mb = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
+            for pdf in _rechunk(batches):
                 B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
                 n = np.linalg.norm(B, axis=1)
                 B /= np.where(n == 0.0, 1.0, n)[:, None]
@@ -666,7 +693,11 @@ def embedding_dedup(
                     {"id_a": bid[ii][keep], "id_b": ids_b[jj][keep]}
                 )
 
-        pairs = items.select(id_col, vec_col).mapInPandas(_pairs, pair_schema)
+        # the matmul stage must not inherit a single-file scan's
+        # 1-partition layout (the whole O(N^2/P) work would run on 1 core)
+        pairs = _spread(items.select(id_col, vec_col)).mapInPandas(
+            _pairs, pair_schema
+        )
     elif mode == "lsh":
         if dim is None:
             raise ValueError("mode='lsh' requires dim=")
@@ -683,10 +714,7 @@ def embedding_dedup(
         pairs = cand.select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-            ).alias("cos_sim"),
+            _cos_fold(F.col("_va"), F.col("_vb")).alias("cos_sim"),
         ).filter(F.col("cos_sim") >= F.lit(threshold)).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown mode {mode!r}")

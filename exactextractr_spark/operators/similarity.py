@@ -38,6 +38,66 @@ def _norm(a):
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _cos_fold(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine with the SAME float64 left-fold rounding as the
+    ``_dot``/``_norm`` expression pair (and the DuckDB oracle's
+    ``list_reduce``): the dim loop accumulates ``acc + x_d * y_d`` in index
+    order across the whole Arrow batch, so every row's result is
+    bit-identical to the interpreted JVM fold it replaces — higher-order
+    ``aggregate`` lambdas are CodegenFallback and evaluate per element,
+    which measured ~10x slower than this batch kernel on the candidate
+    scoring stages."""
+    n = len(a)
+    if n == 0:
+        return pd.Series([], dtype=np.float64)
+    if a.isna().any() or b.isna().any():
+        # a NULL array poisons the JVM fold to NULL for that row
+        out = [
+            None
+            if x is None or y is None or len(x) != len(y)
+            else _scalar_cos_fold(x, y)
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype=np.float64)
+    la = a.map(len).to_numpy()
+    lb = b.map(len).to_numpy()
+    if not (la == la[0]).all() or not (lb == la[0]).all():
+        # ragged / mismatched dims: zip_with pads the shorter side with
+        # nulls, which poison the fold — the JVM result is NULL per row
+        out = [
+            _scalar_cos_fold(x, y) if len(x) == len(y) else None
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype=np.float64)
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for d in range(A.shape[1]):
+        x = A[:, d]
+        y = B[:, d]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def _scalar_cos_fold(x, y) -> float:
+    """One-row reference implementation of the shared left-fold cosine."""
+    xa = np.asarray(x, dtype=np.float64)
+    ya = np.asarray(y, dtype=np.float64)
+    dot = na = nb = 0.0
+    for d in range(xa.shape[0]):
+        dot += float(xa[d]) * float(ya[d])
+        na += float(xa[d]) * float(xa[d])
+        nb += float(ya[d]) * float(ya[d])
+    import math
+
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
 def score_against_queries(
     items: DataFrame,
     queries: DataFrame,
@@ -47,19 +107,23 @@ def score_against_queries(
     qid_col: str = "qid",
 ) -> DataFrame:
     """(qid, item_id, cos_sim) for every item × query pair: broadcast the
-    (small) query set, score JVM-side with the fold cosine. ONE definition
-    shared by batch ``cosine_topk`` and ``streaming.stream_cosine_topk``
-    so the two surfaces can never silently diverge."""
+    (small) query set, score with the shared Arrow left-fold cosine
+    (bit-identical to the ``_dot``/``_norm`` JVM fold it replaces). ONE
+    definition shared by batch ``cosine_topk`` and
+    ``streaming.stream_cosine_topk`` so the two surfaces can never
+    silently diverge."""
+    from .dedup import _spread
+
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
     )
+    # the scoring stage must not inherit a single-file scan's 1-partition
+    # layout (no-op on streams and on already-parallel inputs)
+    items = _spread(items)
     return items.join(F.broadcast(q)).select(
         "qid",
         F.col(id_col).alias("item_id"),
-        (
-            _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
-        ).alias("cos_sim"),
+        _cos_fold(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
     )
 
 
@@ -173,9 +237,11 @@ def lsh_cosine_topk(
     broadcast of queries or a full cross product is impossible — then exact
     re-rank within candidates. Recall < 1 by construction; increase bands
     for higher recall."""
+    from .dedup import _spread
+
     band_keys = band_key_udf(dim, bits, bands, seed, family=family)
 
-    it = items.withColumn("bkey", F.explode(band_keys(F.col(vec_col))))
+    it = _spread(items).withColumn("bkey", F.explode(band_keys(F.col(vec_col))))
     qq = queries.select(
         F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
     ).withColumn("bkey", F.explode(band_keys(F.col("_qvec"))))
@@ -184,10 +250,7 @@ def lsh_cosine_topk(
         .select(
             "qid",
             F.col(id_col).alias("item_id"),
-            (
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
-            ).alias("cos_sim"),
+            _cos_fold(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
         )
         .dropDuplicates(["qid", "item_id"])
     )
@@ -292,17 +355,16 @@ def ivf_cosine_topk(
         order = np.argsort(-_batch_sims(vecs), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe].astype(np.int32)))
 
-    it = items.withColumn("_list", nearest_list(F.col(vec_col)))
+    from .dedup import _spread
+
+    it = _spread(items).withColumn("_list", nearest_list(F.col(vec_col)))
     qq = queries.select(
         F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec")
     ).withColumn("_list", F.explode(probe_lists(F.col("_qvec"))))
     cand = it.join(qq, on="_list").select(
         "qid",
         F.col(id_col).alias("item_id"),
-        (
-            _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
-        ).alias("cos_sim"),
+        _cos_fold(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("item_id"))
     return (

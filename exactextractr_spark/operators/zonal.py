@@ -354,23 +354,35 @@ def build_candidates(
             ),
             None,
         )
-    # guard BEFORE collecting: a count is a column-pruned aggregate (no
-    # geometry bytes move), so a 10M-feature table falls back to the
-    # distributed cover join without ever landing WKBs on the driver.
-    # Reuse the CRS-audit count when it ran; otherwise bound the scan with
-    # limit(LIMIT+1) so a huge table short-circuits instead of fully counting.
-    if n_feats is None:
-        n_feats = feats.limit(BROADCAST_FEATURE_LIMIT + 1).count()
-    if n_feats > BROADCAST_FEATURE_LIMIT:
-        return (
-            candidate_pairs(
-                values, feats, broadcast_features=True, salt_buckets=salt_buckets
-            ),
-            None,
+    # Broadcast-size guard fused with the broadcast collect: when the CRS
+    # audit already counted the table, reuse that count and only collect
+    # under the limit; otherwise ONE bounded job collects limit+1 rows and
+    # derives the count from the result — a huge table short-circuits with
+    # at most limit+1 geometry rows on the driver (bounded, same refusal),
+    # and the common small-table path saves a whole auxiliary job.
+    sel_cols = ("feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax")
+    if n_feats is not None:
+        if n_feats > BROADCAST_FEATURE_LIMIT:
+            return (
+                candidate_pairs(
+                    values, feats, broadcast_features=True,
+                    salt_buckets=salt_buckets,
+                ),
+                None,
+            )
+        rows = feats.select(*sel_cols).collect()
+    else:
+        rows = (
+            feats.select(*sel_cols).limit(BROADCAST_FEATURE_LIMIT + 1).collect()
         )
-    rows = feats.select(
-        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
-    ).collect()
+        if len(rows) > BROADCAST_FEATURE_LIMIT:
+            return (
+                candidate_pairs(
+                    values, feats, broadcast_features=True,
+                    salt_buckets=salt_buckets,
+                ),
+                None,
+            )
     fb = FeatureBroadcast(rows)
     tile_side = values.raw_meta
     if tile_side is None:
@@ -1187,21 +1199,61 @@ def _freq_stats(plan: StatsPlan, freq_df: DataFrame) -> DataFrame:
             [quantile_name(q) for q in plan.quantiles] if "quantile" in wanted else []
         )
         qvals = qs
-        schema = T.StructType(
-            [T.StructField("feature_id", T.LongType())]
-            + [T.StructField(nm, T.DoubleType()) for nm in qnames]
+        # Distributed exact weighted quantile (weighted_quantiles.cpp:20-70
+        # semantics, same as core/quantiles.weighted_quantile): the
+        # s-coordinate of every (feature, v) row comes from ONE window pass
+        # (row_number + exclusive/total running sums, all sharing a single
+        # exchange+sort by feature_id/v), and each requested q interpolates
+        # between the bracketing rows via max_by/min_by in the SAME
+        # feature_id aggregate — no per-feature Python group, so a
+        # continuous-valued mega-polygon no longer funnels its whole
+        # frequency table through one Python task. Bit-exactness: the
+        # running window sums accumulate in ascending-v order (the same
+        # left-to-right fold as np.cumsum), and the interpolation expression
+        # mirrors the numpy operation order term for term.
+        from pyspark.sql.window import Window
+
+        wo = Window.partitionBy("feature_id").orderBy("v")
+        w_prev = wo.rowsBetween(Window.unboundedPreceding, -1)
+        w_all = wo.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-
-        def _q(pdf: pd.DataFrame) -> pd.DataFrame:
-            res = weighted_quantile(
-                pdf["v"].to_numpy(), pdf["sum_c"].to_numpy(), qvals
+        valid = freq_df.where(
+            F.col("v").isNotNull() & ~F.isnan(F.col("v"))
+        )
+        kk = (F.row_number().over(wo) - F.lit(1)).cast("double")
+        nn = F.count(F.lit(1)).over(w_all).cast("double")
+        csum_prev = F.sum("sum_c").over(w_prev)
+        tot = F.sum("sum_c").over(w_all)
+        s_col = F.when(kk == 0.0, F.lit(0.0)).otherwise(
+            kk * F.col("sum_c") + (nn - F.lit(1.0)) * csum_prev
+        )
+        staged = valid.select(
+            "feature_id",
+            "v",
+            s_col.alias("_s"),
+            (tot * (nn - F.lit(1.0))).alias("_sn"),
+        )
+        q_aggs: list = []
+        for nm, q in zip(qnames, qvals):
+            tgt = F.lit(float(q)) * F.col("_sn")
+            left = F.max_by(
+                F.struct(F.col("_s").alias("s"), F.col("v").alias("v")),
+                F.when(F.col("_s") <= tgt, F.col("_s")),
             )
-            out = {"feature_id": [pdf["feature_id"].iloc[0]]}
-            for nm, val in zip(qnames, res):
-                out[nm] = [val]
-            return pd.DataFrame(out)
-
-        pieces.append(freq_df.groupBy("feature_id").applyInPandas(_q, schema))
+            right = F.min_by(
+                F.struct(F.col("_s").alias("s"), F.col("v").alias("v")),
+                F.when(F.col("_s") > tgt, F.col("_s")),
+            )
+            target_v = F.max(tgt)
+            vmax = F.max("v")
+            interp = left["v"] + (
+                (target_v - left["s"]) * (right["v"] - left["v"])
+            ) / (right["s"] - left["s"])
+            q_aggs.append(
+                F.when(right.isNull(), vmax).otherwise(interp).alias(nm)
+            )
+        pieces.append(staged.groupBy("feature_id").agg(*q_aggs))
     for s, num in (("frac", "sum_c"), ("weighted_frac", "sum_cw")):
         if s in wanted:
             # global distinct value set across ALL features

@@ -500,3 +500,47 @@ def test_frac_cardinality_guard(spark, monkeypatch):
     cat2 = Raster.from_array(spark, arr2, meta33("cat2"))
     rows = exact_extract(cat2, feats, ["frac"]).collect()
     assert rows and "frac_1" in rows[0].asDict()
+
+
+def test_quantile_continuous_distributed_parity(spark):
+    """The distributed JVM quantile plan must reproduce the reference
+    weighted-quantile interpolation BIT-EXACTLY on a continuous raster
+    (every covered cell a distinct float value) — the case where per-value
+    frequency rows are numerous and float rounding differences would show.
+    Cross-checked against core.quantiles.weighted_quantile on the pixel
+    table the kernel itself emits."""
+    from exactextractr_spark.core.quantiles import weighted_quantile
+    from exactextractr_spark.operators.zonal import exact_extract_pixels
+
+    n = 64
+    rng = np.random.default_rng(7)
+    arr = rng.uniform(-1000.0, 1000.0, (n, n))
+    meta = RasterMeta(layer="c", xmin=0, ymax=n, dx=1, dy=1, width=n,
+                      height=n, tile_w=16, tile_h=16)
+    r = Raster.from_array(spark, arr, meta)
+    # one mega-polygon covering most of the raster with fractional edges,
+    # plus a small one — both have ~100% distinct values per covered cell
+    feats = features_from_wkt(spark, [
+        f"POLYGON ((0.25 0.25, {n-0.25} 0.25, {n-0.25} {n-0.25}, "
+        f"0.25 {n-0.25}, 0.25 0.25))",
+        "POLYGON ((1.5 1.5, 7.5 1.5, 7.5 9.25, 1.5 9.25, 1.5 1.5))",
+    ])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {
+        row["feature_id"]: row
+        for row in exact_extract(
+            r, feats, ["median", "quantile"], quantiles=qs
+        ).collect()
+    }
+    px = exact_extract_pixels(r, feats).collect()
+    for fid in (1, 2):
+        vals = np.array([p["value"] for p in px if p["feature_id"] == fid])
+        cov = np.array(
+            [p["coverage_fraction"] for p in px if p["feature_id"] == fid]
+        )
+        assert len(np.unique(vals)) > 1000 or fid == 2
+        expect = weighted_quantile(vals, cov, [0.5] + qs)
+        row = got[fid]
+        names = ["median", "q10", "q25", "q50", "q75", "q90"]
+        for nm, e in zip(names, expect):
+            assert row[nm] == e, (fid, nm, row[nm], e)

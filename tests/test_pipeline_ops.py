@@ -1079,3 +1079,38 @@ def test_streaming_image_features_matches_batch(spark, tmp_path):
     for iid in want:
         for c in ("h", "w", "mean_px", "std_px", "phash"):
             assert got[iid][c] == want[iid][c], (iid, c)
+
+
+def test_streaming_zonal_feature_collect_bounded(spark, tmp_path, monkeypatch):
+    """The streaming path's feature broadcast is limit-bounded exactly like
+    the batch path's build_candidates: above BROADCAST_FEATURE_LIMIT it
+    refuses loudly instead of collecting an unbounded table."""
+    import exactextractr_spark.operators.zonal as zonal_mod
+    from exactextractr_spark.sources.features import features_from_wkt
+    from exactextractr_spark.sources.tiles import RasterMeta
+    from exactextractr_spark.streaming.zonal_stream import stream_zonal_stats
+
+    meta = RasterMeta("v", xmin=0, ymax=4, dx=1, dy=1, width=4, height=4,
+                      tile_w=4, tile_h=4)
+    feats = features_from_wkt(
+        spark,
+        ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"],
+    )
+    monkeypatch.setattr(zonal_mod, "BROADCAST_FEATURE_LIMIT", 2)
+    with pytest.raises(ValueError, match="broadcastable feature table"):
+        stream_zonal_stats(
+            spark, str(tmp_path / "nosrc"), feats, ["count"], meta=meta,
+            checkpoint_dir=str(tmp_path / "ck_guard"), query_name="zs_guard",
+        )
+
+
+def test_hamming_pairs_rejects_lossy_bands(spark):
+    """bands <= max_hamming silently breaks the pigeonhole recall-1.0
+    guarantee hamming_pairs advertises — must be a loud ValueError."""
+    from exactextractr_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 7), (2, 4)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, max_hamming=3, bands=3)

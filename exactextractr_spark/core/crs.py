@@ -1077,6 +1077,19 @@ def wkt_to_projstr(wkt: str) -> str:
     for u in _wkt_children(args, "UNIT"):
         if len(u) >= 2:
             unit = float(u[1])  # linear unit in meters
+    if abs(unit - 1.0) > 1e-9:
+        # Non-meter PROJCS units (US survey feet State Plane being the
+        # common case) scale the projected COORDINATES themselves, not just
+        # the FALSE_EASTING/NORTHING parameters; the transform pipeline
+        # works in meters and has no +to_meter plumbing, so accepting the
+        # CRS would silently misread every coordinate by the unit factor
+        # (~3.28x for feet). Fail loudly instead — mirroring the
+        # degrees-only angular-unit rule.
+        raise ValueError(
+            f"PROJCS linear unit {unit!r} m is not supported: projected "
+            "coordinates must be in meters (convert the data or author "
+            "the CRS in meters)"
+        )
 
     def g(*names, dflt=0.0):
         for n in names:

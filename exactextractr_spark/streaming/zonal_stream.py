@@ -86,9 +86,26 @@ def stream_zonal_stats(
                 "raster — batch-only; resample the weights first"
             )
 
-    rows = features.select(
-        "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
-    ).collect()
+    # bounded like the batch path's build_candidates: one limit(N+1) job
+    # refuses loudly instead of landing an unbounded feature table on the
+    # driver (the streaming path has no cover-join fallback — features must
+    # broadcast)
+    from ..operators.zonal import BROADCAST_FEATURE_LIMIT
+
+    rows = (
+        features.select(
+            "feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax"
+        )
+        .limit(BROADCAST_FEATURE_LIMIT + 1)
+        .collect()
+    )
+    if len(rows) > BROADCAST_FEATURE_LIMIT:
+        raise ValueError(
+            f"streaming zonal requires a broadcastable feature table "
+            f"(> {BROADCAST_FEATURE_LIMIT} rows found); the streaming path "
+            "has no raster-sequential cover-join fallback — partition the "
+            "feature set or use the batch operator"
+        )
     feats_bc = spark.sparkContext.broadcast(FeatureBroadcast(rows))
 
     raw = (

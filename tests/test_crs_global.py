@@ -395,26 +395,37 @@ def test_wkt_esri_flavor_and_authority_preference():
     assert crs.wkt_to_projstr(with_auth) == "EPSG:2154"
 
 
-def test_wkt_foot_units_scale_false_easting():
-    """A PROJCS in US survey feet: false easting/northing convert to
-    meters (coordinates stay in the CS's native meters here — the unit
-    applies to the PARAMETER values)."""
+def test_wkt_foot_units_rejected_loudly():
+    """A PROJCS authored in US survey feet (typical State Plane .prj)
+    scales the projected COORDINATES, not just the parameter values; the
+    engine's transform pipeline is meters-only, so such a CRS must be a
+    loud ValueError — not a silently-meters misread that would shift every
+    coordinate by ~3.28x."""
     ftus = 1200.0 / 3937.0
     wkt_ft = (
         'PROJCS["ft_tm",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
         'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
         'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
         'PROJECTION["Transverse_Mercator"],'
-        f'PARAMETER["False_Easting",{500000.0 / ftus!r}],'
+        'PARAMETER["False_Easting",1640416.666666667],'
         'PARAMETER["False_Northing",0.0],'
         'PARAMETER["Central_Meridian",15.0],'
         'PARAMETER["Scale_Factor",0.9996],'
         'PARAMETER["Latitude_Of_Origin",0.0],'
         f'UNIT["Foot_US",{ftus!r}]]'
     )
+    with pytest.raises(ValueError, match="linear unit"):
+        crs.wkt_to_projstr(wkt_ft)
     lon, lat = np.array([15.5]), np.array([45.0])
+    with pytest.raises(ValueError):
+        transform_xy(lon, lat, "EPSG:4326", wkt_ft)
+    # meters-authored equivalent still transforms
+    wkt_m = wkt_ft.replace(
+        'PARAMETER["False_Easting",1640416.666666667]',
+        'PARAMETER["False_Easting",500000.0]',
+    ).replace(f'UNIT["Foot_US",{ftus!r}]', 'UNIT["Meter",1.0]')
     x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:32633")
-    x2, y2 = transform_xy(lon, lat, "EPSG:4326", wkt_ft)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", wkt_m)
     np.testing.assert_allclose(x2, x1, atol=1e-5)
     np.testing.assert_allclose(y2, y1, atol=1e-5)
 

@@ -666,7 +666,7 @@ def embedding_dedup(
     rule run on the candidates only — the join is an equi-join on the band
     key, never all-pairs; recall < 1 by construction (raise ``bands``).
     """
-    from .similarity import _cos_fold, band_key_udf
+    from .similarity import _with_cos, band_key_udf
 
     if mode == "exact":
         # Arrow collect (limit-bounded): orders of magnitude cheaper than
@@ -726,10 +726,9 @@ def embedding_dedup(
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-        pairs = cand.select(
-            "id_a",
-            "id_b",
-            _cos_fold(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        pairs = _with_cos(
+            cand.select("id_a", "id_b", "_va", "_vb"), "_va", "_vb",
+            ["id_a", "id_b"],
         ).filter(F.col("cos_sim") >= F.lit(threshold)).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -74,14 +74,33 @@ def _rechunk(
         yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Widen a too-narrow input before a Python signature stage.
+#: below this estimated (column-pruned, compressed) input size the
+#: defensive repartition is pure overhead: a single core chews through
+#: sub-MB text/vector maps faster than the extra shuffle stage's fixed
+#: cost, while multi-MB single-split inputs win 10x+ from full-core maps
+_MIN_SPREAD_BYTES = 1 << 20
 
-    mapInPandas inherits the scan's partitioning, so a corpus stored as one
-    (or few) parquet row groups runs the whole signature UDF on one core.
-    At real scale the input has far more splits than cores and this gate
-    never fires; below that, one round-robin shuffle of the raw text buys
-    full-core hashing. No determinism cost: signatures are per-row."""
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow input before a map-heavy stage.
+
+    mapInPandas (and any JVM expression pipeline) inherits the scan's
+    partitioning, so a corpus stored as one (or few) parquet files runs the
+    whole map phase on one core. At real scale the input has far more
+    splits than cores and this gate never fires; below that, one
+    round-robin shuffle of the slim projection buys full-core map work.
+    Inputs whose optimizer size estimate is tiny (< _MIN_SPREAD_BYTES) are
+    left alone — there the extra stage costs more than single-core
+    execution of the whole map. No determinism cost: results are per-row
+    or re-aggregated downstream."""
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if est < _MIN_SPREAD_BYTES:
+            return df
+    except Exception:
+        pass  # estimate unavailable (Connect, exotic plans) — fall through
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

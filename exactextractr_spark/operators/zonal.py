@@ -18,7 +18,8 @@ tile-key equi-join Catalyst can broadcast or shuffle-hash):
           coverage kernel (mapInPandas, Arrow-vectorized) → sparse facts
                                                                         ▼
      groupBy(feature_id).agg(all algebraic stats)   [+ groupBy(fid, v)
-     for frequency stats, + weighted-quantile applyInPandas]
+     for frequency stats; quantiles interpolate JVM-side from one window
+     pass over the frequency table — no per-feature Python group]
 """
 
 from __future__ import annotations
@@ -35,7 +36,6 @@ from pyspark.sql import types as T
 from ..core import geom as G
 from ..core.coverage import coverage_fraction
 from ..core.grid import Box, Grid
-from ..core.quantiles import weighted_quantile
 from ..plans.stats import StatsPlan, quantile_name
 from ..sources.tiles import Raster
 

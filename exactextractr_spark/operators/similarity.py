@@ -346,8 +346,11 @@ def train_ivf_centroids(
     whole quantizer SQL-expressible (ORDER BY id LIMIT k), which is how the
     driver's DuckDB oracle verifies the IVF plumbing bit-exactly while the
     k-means-refined mode remains the recall/quality path."""
-    rows = items.orderBy(id_col).limit(sample).select(vec_col).collect()
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    # Arrow collect: orders of magnitude cheaper than row-by-row collect()
+    # for a 10^4 x dim float sample; the orderBy+limit stays a distributed
+    # TakeOrdered and the sorted driver-side order is preserved
+    pdf = items.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if init == "first":
         C = X[: min(n_centroids, len(X))].copy()

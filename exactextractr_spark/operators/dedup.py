@@ -59,7 +59,12 @@ def _rechunk(
     so the same cap hands the numpy kernels 16-row batches where per-batch
     fixed costs (DataFrame assembly, ragged-fold setup, tiny matmuls)
     dominate. Accumulating to ``min_rows`` restores full vectorization
-    without touching the session-wide batch size the tile kernels need."""
+    without touching the session-wide batch size the tile kernels need.
+
+    Oversized incoming batches are SPLIT to ``min_rows`` as well — a
+    vanilla session's 10,000-row default batches must not blow past a
+    caller's per-chunk memory budget (embedding_dedup sizes its chunks so
+    the score matrix stays ~tens of MB per task)."""
     buf: list[pd.DataFrame] = []
     rows = 0
     for pdf in batches:
@@ -68,10 +73,18 @@ def _rechunk(
         buf.append(pdf)
         rows += len(pdf)
         if rows >= min_rows:
-            yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            buf, rows = [], 0
+            big = (
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            )
+            n_full = (len(big) // min_rows) * min_rows
+            for lo in range(0, n_full, min_rows):
+                yield big.iloc[lo: lo + min_rows]
+            rem = big.iloc[n_full:]
+            buf, rows = ([rem], len(rem)) if len(rem) else ([], 0)
     if buf:
-        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        big = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        for lo in range(0, len(big), min_rows):
+            yield big.iloc[lo: lo + min_rows]
 
 
 #: below this estimated (column-pruned, compressed) input size the
@@ -587,9 +600,12 @@ def hamming_pairs(
     holds all ≤d of them) has some sub-band with 0 — while hot primary
     buckets of near-miss hashes split ~2^12 ways: measured 49.4M → 10.4M
     candidate join rows on the sf1.0 simhash table for (d+1)² keys per
-    row instead of d+1. An explicit ``bands`` keeps the classic one-level
-    scheme (callers pinning band structure get exactly that)."""
-    two_level = bands is None
+    row instead of d+1. The quadratic key fan-out caps itself: past
+    (d+1)² > 64 keys per row (d > 7) the explode cost outgrows the
+    bucket-splitting win and the default reverts to one-level. An
+    explicit ``bands`` always keeps the classic one-level scheme (callers
+    pinning band structure get exactly that)."""
+    two_level = bands is None and (max_hamming + 1) ** 2 <= 64
     if bands is None:
         bands = max_hamming + 1
     if bands < 1 or bands > 64:

@@ -18,72 +18,14 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
-def _dot(a, b):
-    # cast BEFORE multiplying: float32 inputs promoted to float64 first, so
-    # the sum is the same double-precision left-fold DuckDB/numpy compute
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _scalar_cos_fold(x, y) -> "float | None":
+    """One-row reference implementation of the shared left-fold cosine:
+    float64 accumulation in index order (the DuckDB oracle's list_reduce
+    order). Returns None for a zero denominator — Spark's non-ANSI
+    ``x / 0.0`` is NULL, and the replaced JVM expression divided by the
+    norm product — and propagates NaN for NaN inputs (divisor not zero)."""
+    import math
 
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            a,
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-
-
-def _cos_series(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized cosine with the SAME float64 left-fold rounding as the
-    ``_dot``/``_norm`` expression pair (and the DuckDB oracle's
-    ``list_reduce``): the dim loop accumulates ``acc + x_d * y_d`` in index
-    order across the whole batch, so every row's result is bit-identical
-    to the interpreted JVM fold it replaces — higher-order ``aggregate``
-    lambdas are CodegenFallback and evaluate per element, which measured
-    ~10x slower than this batch kernel on the candidate scoring stages."""
-    n = len(a)
-    if n == 0:
-        return pd.Series([], dtype=np.float64)
-    if a.isna().any() or b.isna().any():
-        # a NULL array poisons the JVM fold to NULL for that row
-        out = [
-            None
-            if x is None or y is None or len(x) != len(y)
-            else _scalar_cos_fold(x, y)
-            for x, y in zip(a, b)
-        ]
-        return pd.Series(out, dtype=np.float64)
-    la = a.map(len).to_numpy()
-    lb = b.map(len).to_numpy()
-    if not (la == la[0]).all() or not (lb == la[0]).all():
-        # ragged / mismatched dims: zip_with pads the shorter side with
-        # nulls, which poison the fold — the JVM result is NULL per row
-        out = [
-            _scalar_cos_fold(x, y) if len(x) == len(y) else None
-            for x, y in zip(a, b)
-        ]
-        return pd.Series(out, dtype=np.float64)
-    A = np.vstack(a.to_numpy()).astype(np.float64)
-    B = np.vstack(b.to_numpy()).astype(np.float64)
-    dot = np.zeros(n)
-    na = np.zeros(n)
-    nb = np.zeros(n)
-    for d in range(A.shape[1]):
-        x = A[:, d]
-        y = B[:, d]
-        dot += x * y
-        na += x * x
-        nb += y * y
-    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
-
-
-def _scalar_cos_fold(x, y) -> float:
-    """One-row reference implementation of the shared left-fold cosine."""
     xa = np.asarray(x, dtype=np.float64)
     ya = np.asarray(y, dtype=np.float64)
     dot = na = nb = 0.0
@@ -91,13 +33,10 @@ def _scalar_cos_fold(x, y) -> float:
         dot += float(xa[d]) * float(ya[d])
         na += float(xa[d]) * float(xa[d])
         nb += float(ya[d]) * float(ya[d])
-    import math
-
-    return dot / (math.sqrt(na) * math.sqrt(nb))
-
-
-#: scalar pandas-UDF form of the shared fold (kept for expression contexts)
-_cos_fold = F.pandas_udf(_cos_series, T.DoubleType())
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den == 0.0:
+        return None
+    return dot / den
 
 
 def _with_cos(df: DataFrame, vec_a: str, vec_b: str, keep: "list[str]"):
@@ -105,9 +44,13 @@ def _with_cos(df: DataFrame, vec_a: str, vec_b: str, keep: "list[str]"):
     Arrow list buffers — no per-row ndarray objects are ever built (the
     pandas-UDF path allocates one small ndarray per row just to hand the
     batch over; the flat read measured ~30% faster on a 200k-pair
-    candidate table, bit-identical output). Falls back to the pandas
-    fold for null/ragged vector columns (same NULL semantics as the JVM
-    fold). Returns ``df[keep] + cos_sim``."""
+    candidate table, bit-identical output). Semantics match the replaced
+    JVM ``_dot / (_norm * _norm)`` expression on EVERY path: a zero norm
+    product is NULL (Spark's non-ANSI x / 0.0), NaN inputs propagate NaN,
+    and null/ragged vector rows (which poison the JVM fold) are NULL —
+    the per-row fallback runs only for batches containing such rows, so
+    the result never depends on batch composition. Returns
+    ``df[keep] + cos_sim``."""
     import pyarrow as pa
 
     out_schema = T.StructType(
@@ -146,15 +89,20 @@ def _with_cos(df: DataFrame, vec_a: str, vec_b: str, keep: "list[str]"):
                     dot += x * y
                     na += x * x
                     nb += y * y
-                cos = pa.array(dot / (np.sqrt(na) * np.sqrt(nb)))
-            else:
+                den = np.sqrt(na) * np.sqrt(nb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    vals = dot / den
                 cos = pa.array(
-                    _cos_series(
-                        ca.to_pandas(), cb.to_pandas()
-                    ).to_numpy(),
-                    type=pa.float64(),
-                    from_pandas=True,
+                    vals, type=pa.float64(), mask=(den == 0.0)
                 )
+            else:
+                rows = [
+                    None
+                    if x is None or y is None or len(x) != len(y)
+                    else _scalar_cos_fold(x, y)
+                    for x, y in zip(ca.to_pylist(), cb.to_pylist())
+                ]
+                cos = pa.array(rows, type=pa.float64(), from_pandas=False)
             cols = [b.column(b.schema.get_field_index(c)) for c in names]
             yield pa.RecordBatch.from_arrays(
                 cols + [cos], names=names + ["cos_sim"]

@@ -275,6 +275,12 @@ class FeatureBroadcast:
 #: features above this count fall back to the cover-join strategy
 BROADCAST_FEATURE_LIMIT = 200_000
 
+#: only fuse the broadcast-size guard with the collect when the optimizer
+#: estimates the whole feature table comfortably collectable; larger or
+#: unestimable tables count first so no geometry bytes reach the driver
+#: before the fallback decision
+_FUSED_COLLECT_MAX_BYTES = 256 << 20
+
 
 def build_candidates(
     values: Raster,
@@ -356,33 +362,46 @@ def build_candidates(
         )
     # Broadcast-size guard fused with the broadcast collect: when the CRS
     # audit already counted the table, reuse that count and only collect
-    # under the limit; otherwise ONE bounded job collects limit+1 rows and
-    # derives the count from the result — a huge table short-circuits with
-    # at most limit+1 geometry rows on the driver (bounded, same refusal),
-    # and the common small-table path saves a whole auxiliary job.
+    # under the limit. Otherwise, a table whose optimizer size estimate is
+    # comfortably collectable takes ONE bounded job (limit+1 rows, count
+    # derived from the result — saves an auxiliary driver job on every
+    # small-feature query); a large or unestimable table keeps the old
+    # count-FIRST order so no geometry bytes ever land on the driver
+    # before the refusal decision (a 10M-feature table of megabyte WKBs
+    # must not stage limit+1 geometries just to discover the fallback).
     sel_cols = ("feature_id", "geom", "fxmin", "fymin", "fxmax", "fymax")
-    if n_feats is not None:
-        if n_feats > BROADCAST_FEATURE_LIMIT:
-            return (
-                candidate_pairs(
-                    values, feats, broadcast_features=True,
-                    salt_buckets=salt_buckets,
-                ),
-                None,
+    rows = None
+    if n_feats is None:
+        est = None
+        try:
+            est = int(
+                str(
+                    feats._jdf.queryExecution().optimizedPlan().stats()
+                    .sizeInBytes()
+                )
             )
-        rows = feats.select(*sel_cols).collect()
-    else:
-        rows = (
-            feats.select(*sel_cols).limit(BROADCAST_FEATURE_LIMIT + 1).collect()
+        except Exception:
+            pass
+        if est is not None and est <= _FUSED_COLLECT_MAX_BYTES:
+            rows = (
+                feats.select(*sel_cols)
+                .limit(BROADCAST_FEATURE_LIMIT + 1)
+                .collect()
+            )
+            n_feats = len(rows)
+        else:
+            # column-pruned bounded count: no geometry bytes move
+            n_feats = feats.limit(BROADCAST_FEATURE_LIMIT + 1).count()
+    if n_feats > BROADCAST_FEATURE_LIMIT:
+        return (
+            candidate_pairs(
+                values, feats, broadcast_features=True,
+                salt_buckets=salt_buckets,
+            ),
+            None,
         )
-        if len(rows) > BROADCAST_FEATURE_LIMIT:
-            return (
-                candidate_pairs(
-                    values, feats, broadcast_features=True,
-                    salt_buckets=salt_buckets,
-                ),
-                None,
-            )
+    if rows is None:
+        rows = feats.select(*sel_cols).collect()
     fb = FeatureBroadcast(rows)
     tile_side = values.raw_meta
     if tile_side is None:

@@ -1118,3 +1118,37 @@ def test_hamming_pairs_rejects_lossy_bands(spark):
     df = spark.createDataFrame([(1, 7), (2, 4)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_pairs(df, max_hamming=3, bands=3)
+
+
+def test_with_cos_null_zero_norm_semantics(spark):
+    """The Arrow cosine scorer must reproduce the JVM fold's non-ANSI
+    division semantics on every path and independently of batch
+    composition: zero-norm rows -> NULL (x / 0.0), NULL/ragged vector
+    rows -> NULL, normal rows -> finite cosine — and a batch mixing all
+    three must not crash the worker."""
+    from exactextractr_spark.operators.similarity import _with_cos
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),   # cos 1.0
+        (2, [0.0, 0.0], [1.0, 0.0]),   # zero norm -> NULL
+        (3, None, [1.0, 0.0]),         # NULL vec -> NULL
+        (4, [1.0], [1.0, 0.0]),        # ragged -> NULL
+        (5, [3.0, 4.0], [4.0, 3.0]),   # cos 24/25
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).coalesce(1)  # one partition: all rows share Arrow batches
+    got = {r["id"]: r["cos_sim"]
+           for r in _with_cos(df, "a", "b", ["id"]).collect()}
+    assert got[1] == 1.0
+    assert got[2] is None
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] == 24.0 / 25.0
+    # flat path (no null/ragged rows in the batch): zero norm still NULL
+    df2 = spark.createDataFrame(
+        [rows[0], rows[1], rows[4]], "id long, a array<double>, b array<double>"
+    ).coalesce(1)
+    got2 = {r["id"]: r["cos_sim"]
+            for r in _with_cos(df2, "a", "b", ["id"]).collect()}
+    assert got2 == {1: 1.0, 2: None, 5: 24.0 / 25.0}
